@@ -1,0 +1,317 @@
+"""Scenario engine: turns (RINEX, position stream, start time) into dense
+per-epoch channel state tables for the TPU synthesizer.
+
+This is the TPU-first re-architecture of the reference's orchestrator
+(reference: src/galileo-sdr.cpp:58-647).  The reference interleaves scalar
+observable updates with a per-sample NCO loop; here the host engine
+advances the *slow* state (orbits, observables, I/NAV pages, channel
+allocation — 10 Hz cadence) and emits, per 0.1 s epoch, an
+`EpochStateTable` whose phases are affine in the sample index.  The device
+consumes whole blocks of epochs and synthesizes all samples in parallel
+(ops/synth.py, ops/pallas_synth.py).
+
+Timing parity notes (galileo-sdr.cpp):
+* dt = 0.10000002314 s while the sample clock advances exactly
+  260000/2.6e6 s per epoch (line 347) — both kept.
+* grx is incremented once before channel allocation (line 348) and once
+  more before the epoch loop (line 436): the first emitted epoch is at
+  g0 + 2 dt, and `numd - 1` epochs are emitted for a duration of numd/10 s.
+* Every 30 scenario seconds (igrx % 300 == 0) ephemerides are re-matched
+  and channels reallocated *after* the epoch is synthesized (lines
+  544-562).
+* Carrier phase carries continuously across epochs; code phase and symbol
+  counters are re-derived analytically each epoch from the pseudorange
+  (computeCodePhase), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+from . import geodesy
+from .channels import ChannelBank, allocate_channels, regenerate_page
+from .codes import boc_chips, secondary_code
+from .constants import (
+    CA_SEQ_LEN_E1,
+    EPOCH_DT,
+    MAX_CHAN,
+    MAX_SAT,
+    N_SYM_PAGE,
+    NUM_IQ_SAMPLES,
+    R2D,
+    SAMP_RATE,
+)
+from .gnss_time import GalTime, gal2date
+from .observables import code_phase_state, compute_range
+from .rinex import NavData
+
+SYM_WIN = 32  # symbols covered per epoch window (<= 27 used)
+
+# Receiver antenna attenuation in dB for boresight 0:5:180 deg
+# (galileo-sdr.cpp:50-54); gain is computed for parity/UI but, like the
+# reference (lines 520-521), not applied to the mix unless requested.
+ANT_PAT_DB = np.array(
+    [0.00, 0.00, 0.22, 0.44, 0.67, 1.11, 1.56, 2.00, 2.44, 2.89, 3.56, 4.22,
+     4.89, 5.56, 6.22, 6.89, 7.56, 8.22, 8.89, 9.78, 10.67, 11.56, 12.44,
+     13.33, 14.44, 15.56, 16.67, 17.78, 18.89, 20.00, 21.33, 22.67, 24.00,
+     25.56, 27.33, 29.33, 31.56]
+)
+
+
+@dataclass
+class EpochStateTable:
+    """Per-epoch, per-channel synthesis seeds (all shape (MAX_CHAN, ...))."""
+
+    grx_sec: float
+    prn: np.ndarray  # int32, 0 = inactive
+    f_carr: np.ndarray  # float64 [Hz]
+    f_code: np.ndarray  # float64 [chips/s]
+    code_phase0: np.ndarray  # float64 [chips, 0..4092)
+    carr_phase0: np.ndarray  # float64 [cycles, (-1..1)]
+    ibit0: np.ndarray  # int32 symbol index at epoch start
+    sym_win: np.ndarray  # int8 (MAX_CHAN, SYM_WIN) data symbols (+-1)
+    pilot_win: np.ndarray  # int8 (MAX_CHAN, SYM_WIN) secondary chips (+-1)
+    gain: np.ndarray  # float32 path-loss * antenna gain * 128
+    azel: np.ndarray  # float64 (MAX_CHAN, 2) for status display
+
+
+@dataclass
+class EpochBatch:
+    """A contiguous block of epochs with a fixed channel->PRN mapping,
+    stacked for device consumption (leading axis = epoch)."""
+
+    grx_sec: np.ndarray  # (B,)
+    prn: np.ndarray  # (MAX_CHAN,) fixed across the batch
+    f_carr: np.ndarray  # (B, MAX_CHAN)
+    f_code: np.ndarray
+    code_phase0: np.ndarray
+    carr_phase0: np.ndarray
+    sym_win: np.ndarray  # (B, MAX_CHAN, SYM_WIN)
+    pilot_win: np.ndarray
+    gain: np.ndarray
+    codes_b: np.ndarray  # (MAX_CHAN, 8184) int8, zero rows for idle slots
+    codes_c: np.ndarray
+
+
+class PositionProvider:
+    """Receiver position source: static, per-epoch trajectory, or live."""
+
+    def __init__(
+        self,
+        llh_deg: np.ndarray | None = None,
+        trajectory: np.ndarray | None = None,
+        live: Callable[[], np.ndarray] | None = None,
+    ):
+        self._static = None if llh_deg is None else np.asarray(llh_deg, float)
+        self._traj = None if trajectory is None else np.asarray(trajectory, float)
+        self._live = live
+
+    def llh_deg(self, epoch: int) -> np.ndarray:
+        if self._live is not None:
+            return np.asarray(self._live(), dtype=np.float64)
+        if self._traj is not None:
+            idx = min(epoch, len(self._traj) - 1)
+            return self._traj[idx]
+        return self._static
+
+
+class ScenarioEngine:
+    """Iterates epochs, maintaining channel state, yielding state tables."""
+
+    def __init__(
+        self,
+        nav: NavData,
+        position: PositionProvider,
+        g0: GalTime,
+        duration_s: float,
+        verbose: bool = False,
+    ):
+        self.nav = nav
+        self.position = position
+        self.verbose = verbose
+        self.numd = int(duration_s * 10.0 + 0.5)
+        self.bank = ChannelBank()
+        self.current_eph = [-1] * MAX_SAT
+        self.g0 = g0
+        self._delt = 1.0 / SAMP_RATE
+        self._block_T = NUM_IQ_SAMPLES * self._delt
+
+        llh0 = self.position.llh_deg(0)
+        xyz0 = geodesy.llh2xyz(np.array([llh0[0] / R2D, llh0[1] / R2D, llh0[2]]))
+
+        for sv in range(MAX_SAT):
+            self.current_eph[sv] = nav.epoch_match(sv, g0)
+
+        # grx advanced once before allocation (galileo-sdr.cpp:348).
+        self.grx = g0 + EPOCH_DT
+        allocate_channels(
+            self.bank, nav, self.grx, xyz0, self.current_eph, verbose=verbose
+        )
+        # ...and once more before the loop (line 436).
+        self.grx = self.grx + EPOCH_DT
+
+    def __len__(self) -> int:
+        return max(self.numd - 1, 0)
+
+    def epochs(self) -> Iterator[EpochStateTable]:
+        for iumd in range(1, self.numd):
+            yield self._step(iumd)
+
+    def _step(self, iumd: int) -> EpochStateTable:
+        nav, bank, grx = self.nav, self.bank, self.grx
+        llh = self.position.llh_deg(iumd).copy()
+        llh_rad = np.array([llh[0] / R2D, llh[1] / R2D, llh[2]])
+        xyz = geodesy.llh2xyz(llh_rad)
+
+        tab = EpochStateTable(
+            grx_sec=grx.sec,
+            prn=np.zeros(MAX_CHAN, np.int32),
+            f_carr=np.zeros(MAX_CHAN),
+            f_code=np.full(MAX_CHAN, 1.023e6),
+            code_phase0=np.zeros(MAX_CHAN),
+            carr_phase0=np.zeros(MAX_CHAN),
+            ibit0=np.zeros(MAX_CHAN, np.int32),
+            sym_win=np.ones((MAX_CHAN, SYM_WIN), np.int8),
+            pilot_win=np.ones((MAX_CHAN, SYM_WIN), np.int8),
+            gain=np.zeros(MAX_CHAN, np.float32),
+            azel=np.zeros((MAX_CHAN, 2)),
+        )
+
+        sec = secondary_code()
+        for i, chan in enumerate(bank.channels):
+            if chan.prn <= 0:
+                continue
+            sv = chan.prn - 1
+            eph = nav.eph[sv][self.current_eph[sv]]
+            chan.eph_index = self.current_eph[sv]
+
+            rho = compute_range(eph, nav.iono, grx.week, grx.sec, xyz)
+            chan.azel = (float(rho.azel[0]), float(rho.azel[1]))
+            nco = code_phase_state(chan.rho0_range, rho.range, EPOCH_DT, grx.sec)
+            chan.f_carr = float(nco.f_carr)
+            chan.f_code = float(nco.f_code)
+            chan.code_phase = float(nco.code_phase)
+            chan.ibit = int(nco.ibit)
+            chan.ipage = int(nco.ipage)
+            chan.rho0_range = float(rho.range)
+
+            # Signal gain (galileo-sdr.cpp:470-477): computed, not applied.
+            path_loss = 20200000.0 / float(rho.d)
+            ibs = int((90.0 - rho.azel[1] * R2D) / 5.0)
+            ant_gain = 10.0 ** (-ANT_PAT_DB[ibs] / 20.0)
+            tab.gain[i] = path_loss * ant_gain * 128.0
+
+            # --- simulate the sample loop's symbol/page evolution --------
+            a = chan.f_code * self._delt  # chips per sample
+            total_wraps = int(
+                np.floor((chan.code_phase + a * (NUM_IQ_SAMPLES - 1)) / CA_SEQ_LEN_E1)
+            )
+            cur_page = chan.page
+            if chan.ibit + total_wraps >= N_SYM_PAGE:
+                regenerate_page(chan, grx, nav)  # new page at rollover
+            nxt_page = chan.page  # same as cur_page when no rollover
+
+            idx = chan.ibit + np.arange(SYM_WIN)
+            bits = np.where(
+                idx < N_SYM_PAGE,
+                cur_page[np.minimum(idx, N_SYM_PAGE - 1)],
+                nxt_page[(idx - N_SYM_PAGE) % N_SYM_PAGE],
+            )
+            tab.sym_win[i] = np.where(bits > 0, -1, 1)
+            tab.pilot_win[i] = sec[idx % 25]
+
+            tab.prn[i] = chan.prn
+            tab.f_carr[i] = chan.f_carr
+            tab.f_code[i] = chan.f_code
+            tab.code_phase0[i] = chan.code_phase
+            tab.carr_phase0[i] = chan.carr_phase
+            tab.ibit0[i] = chan.ibit
+            tab.azel[i] = chan.azel
+
+            # carrier phase carries into the next epoch (NCO closed form)
+            phase = chan.carr_phase + chan.f_carr * self._block_T
+            chan.carr_phase = phase - np.trunc(phase)
+
+        # 30 s ephemeris refresh + reallocation (galileo-sdr.cpp:544-562)
+        igrx = int(grx.sec * 10.0 + 0.5)
+        if igrx % 300 == 0:
+            for sv in range(MAX_SAT):
+                self.current_eph[sv] = nav.epoch_match(sv, grx)
+            allocate_channels(
+                bank, nav, grx, xyz, self.current_eph, verbose=self.verbose
+            )
+
+        self.grx = grx + EPOCH_DT
+        return tab
+
+    def batches(self, block_epochs: int) -> Iterator[EpochBatch]:
+        """Group consecutive epochs into device-sized batches; a batch is
+        cut early whenever the channel->PRN mapping changes."""
+        pending: list[EpochStateTable] = []
+        for tab in self.epochs():
+            if pending and (
+                len(pending) >= block_epochs
+                or not np.array_equal(pending[-1].prn, tab.prn)
+            ):
+                yield self._pack(pending)
+                pending = []
+            pending.append(tab)
+        if pending:
+            yield self._pack(pending)
+
+    @staticmethod
+    def _pack(tabs: list[EpochStateTable]) -> EpochBatch:
+        prn = tabs[0].prn
+        cb = np.zeros((MAX_CHAN, 2 * CA_SEQ_LEN_E1), np.int8)
+        cc = np.zeros((MAX_CHAN, 2 * CA_SEQ_LEN_E1), np.int8)
+        active = prn > 0
+        if np.any(active):
+            cb[active] = boc_chips("E1B")[prn[active] - 1]
+            cc[active] = boc_chips("E1C")[prn[active] - 1]
+        return EpochBatch(
+            grx_sec=np.array([t.grx_sec for t in tabs]),
+            prn=prn.copy(),
+            f_carr=np.stack([t.f_carr for t in tabs]),
+            f_code=np.stack([t.f_code for t in tabs]),
+            code_phase0=np.stack([t.code_phase0 for t in tabs]),
+            carr_phase0=np.stack([t.carr_phase0 for t in tabs]),
+            sym_win=np.stack([t.sym_win for t in tabs]),
+            pilot_win=np.stack([t.pilot_win for t in tabs]),
+            gain=np.stack([t.gain for t in tabs]),
+            codes_b=cb,
+            codes_c=cc,
+        )
+
+
+def scenario_start_time(
+    nav: NavData, g0: GalTime | None, timeoverwrite: bool = False
+) -> GalTime:
+    """Resolve the scenario start (set_scenario_start_time,
+    gnss-time.cpp:101-167).  With -T (timeoverwrite), the reference shifts
+    all TOC/TOE by the g0-gmin delta (rounded to 7200 s); we implement that
+    correctly on the records actually used (the reference's version
+    iterates a stale array and is effectively a no-op, SURVEY quirk list).
+    """
+    gmin, gmax = nav.time_window()
+    if g0 is None or g0.week < 0:
+        return GalTime(gmin.week, gmin.sec)
+    if timeoverwrite:
+        gtmp = GalTime(g0.week, float(int(g0.sec) // 7200 * 7200))
+        dsec = gtmp - gmin
+        nav.iono.wnt = gtmp.week
+        nav.iono.tot = int(gtmp.sec)
+        for recs in nav.eph:
+            for rec in recs:
+                rec.toc = rec.toc + dsec
+                rec.toe = rec.toe + dsec
+        return g0
+    if (g0 - gmin) < 0.0 or (gmax - g0) < 0.0:
+        t0 = gal2date(g0)
+        raise ValueError(
+            f"Invalid start time {t0.y}/{t0.m:02d}/{t0.d:02d} "
+            f"{t0.hh:02d}:{t0.mm:02d}:{t0.sec:02.0f} outside ephemeris window"
+        )
+    return g0
