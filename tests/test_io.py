@@ -1,0 +1,141 @@
+"""I/O layer tests: sinks, streaming executor, UDP side-channels
+(reference: src/fifo.cpp, src/main.cpp:55-127, include/socket.h)."""
+
+import socket
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from galileo_sdr_sim_tpu.io.sinks import FileSink, NullSink, UdpSink
+from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
+from galileo_sdr_sim_tpu.io.udp import LiveState, UdpServers
+from galileo_sdr_sim_tpu.scenario import PositionProvider, ScenarioEngine
+
+NS = 8192
+TILE = 512
+
+
+def test_file_sink(tmp_path):
+    path = tmp_path / "out.ishort"
+    data = np.arange(-8, 8, dtype=np.int16)
+    with FileSink(path) as sink:
+        sink.write(data)
+        sink.write(data)
+    back = np.fromfile(path, dtype=np.int16)
+    assert np.array_equal(back, np.tile(data, 2))
+
+
+def test_streaming_synthesizer(nav, g0):
+    eng = ScenarioEngine(
+        nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+        g0, duration_s=0.5,
+    )
+    sink = NullSink()
+    synth = StreamingSynthesizer(
+        eng, sink, mode="lut512", tile=TILE, block_epochs=2, nsamples=NS
+    )
+    stats = synth.run()
+    assert stats.epochs == 4
+    assert sink.samples == 4 * NS
+    assert stats.samples == 4 * NS
+
+
+def test_streaming_matches_direct(nav, g0):
+    """Streamed (padded, code-cached) output == direct per-batch synth."""
+    from galileo_sdr_sim_tpu.ops.synth import prepare_device_inputs, synth_block
+
+    def mk_engine():
+        return ScenarioEngine(
+            nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+            g0, duration_s=0.5,
+        )
+
+    chunks = []
+
+    class Collect(NullSink):
+        def write(self, iq):
+            super().write(iq)
+            chunks.append(np.array(iq))
+
+    synth = StreamingSynthesizer(
+        mk_engine(), Collect(), mode="lut512", tile=TILE, block_epochs=3,
+        nsamples=NS,
+    )
+    synth.run()
+    streamed = np.concatenate([c.reshape(-1) for c in chunks])
+
+    direct = []
+    for batch in mk_engine().batches(1):
+        inp = prepare_device_inputs(batch, TILE, NS)
+        out = np.asarray(synth_block(inp, tile=TILE, mode="lut512"))
+        direct.append(out[:, : 2 * NS].reshape(-1))
+    direct = np.concatenate(direct)
+    assert np.array_equal(streamed, direct)
+
+
+def test_udp_sink_and_servers(unused_tcp_port_factory=None):
+    # pick free ports
+    def free_port():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    ports = (free_port(), free_port(), free_port())
+    servers = UdpServers(np.array([1.0, 2.0, 3.0]), ports=ports).start()
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        vals = [31.0, 30.0, 52.0, 0.0, 0.0, 0.0, 0.0, 0.0, 123456.0]
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            # retry sends until all three listeners have bound and consumed
+            if servers.state.llh[0] != 42.0:
+                # position update (wire format of coord_update_cli.py)
+                tx.sendto(struct.pack("<3d", 42.0, -71.0, 50.0),
+                          ("127.0.0.1", ports[0]))
+            if servers.state.tow_correction is None:
+                # bit relay datagram: 8 channels of prn*10+bit, then TOW ms
+                tx.sendto(struct.pack("<9d", *vals), ("127.0.0.1", ports[1]))
+            if servers.state.dynamic_dt != 0.25:
+                tx.sendto(struct.pack("<d", 0.25), ("127.0.0.1", ports[2]))
+            if (
+                servers.state.llh[0] == 42.0
+                and servers.state.tow_correction is not None
+                and servers.state.dynamic_dt == 0.25
+            ):
+                break
+            time.sleep(0.1)
+        assert np.allclose(servers.state.llh, [42.0, -71.0, 50.0])
+        assert servers.state.tow_correction == pytest.approx(123.456)
+        assert servers.state.dynamic_dt == 0.25
+        assert servers.state.pop_bits(3, 2) == [1, -1]  # bit 1 -> +1, 0 -> -1
+        assert servers.state.pop_bits(5, 1) == [0]  # wire bit 2 -> 0
+    finally:
+        servers.stop()
+
+
+def test_udp_sink_chunks():
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    sink = UdpSink("127.0.0.1", port, samples_per_packet=64)
+    data = np.arange(200, dtype=np.int16)  # 100 samples -> 2 packets
+    sink.write(data)
+    pkt1, _ = rx.recvfrom(65536)
+    pkt2, _ = rx.recvfrom(65536)
+    got = np.frombuffer(pkt1 + pkt2, dtype=np.int16)
+    assert np.array_equal(got, data)
+    sink.close()
+    rx.close()
+
+
+def test_live_state_queues_bounded():
+    st = LiveState(np.zeros(3))
+    for i in range(5000):
+        st.push_bits(4, 1)
+    assert len(st.bit_queues[4]) == 4096  # bounded
+    assert st.pop_bits(99, 10) == []  # unknown prn -> empty
