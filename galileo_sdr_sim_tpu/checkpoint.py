@@ -1,0 +1,91 @@
+"""Checkpoint / resume of scenario state.
+
+The reference has no resume capability (SURVEY §5: resume = rerun).  Here
+the complete synthesis state at an epoch boundary is an explicit, small
+structure — receiver time, channel bank (PRN, carrier phase, pseudorange,
+current page symbols, ephemeris indices) — so any run can be snapshotted
+per block and continued bit-identically: the next epoch's code phase and
+symbol counters are re-derived analytically from the pseudorange exactly
+as in normal operation, and carrier phase is part of the snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .constants import MAX_CHAN, MAX_SAT
+from .gnss_time import GalTime
+from .scenario import ScenarioEngine
+
+
+def save_state(engine: ScenarioEngine, path: str | Path) -> None:
+    """Snapshot engine state after the most recent epoch."""
+    chans = engine.bank.channels
+    meta = {
+        "grx_week": engine.grx.week,
+        "grx_sec": engine.grx.sec,
+        "g0_week": engine.g0.week,
+        "g0_sec": engine.g0.sec,
+        "numd": engine.numd,
+        "current_eph": engine.current_eph,
+        "allocated": {str(k): v for k, v in engine.bank.allocated.items()},
+        "channels": [
+            {
+                "prn": c.prn,
+                "carr_phase": c.carr_phase,
+                "f_carr": c.f_carr,
+                "f_code": c.f_code,
+                "code_phase": c.code_phase,
+                "ibit": c.ibit,
+                "ipage": c.ipage,
+                "rho0_range": c.rho0_range,
+                "azel": list(c.azel),
+                "eph_index": c.eph_index,
+            }
+            for c in chans
+        ],
+    }
+    pages = np.stack(
+        [
+            c.page if c.page is not None else np.zeros(500, np.uint8)
+            for c in chans
+        ]
+    )
+    path = Path(path)
+    np.savez_compressed(path.with_suffix(".npz"), pages=pages)
+    path.with_suffix(".json").write_text(json.dumps(meta))
+
+
+def load_state(engine: ScenarioEngine, path: str | Path) -> int:
+    """Restore a snapshot into a freshly-constructed engine (same nav/
+    position/duration).  Returns the epoch index to continue from."""
+    path = Path(path)
+    meta = json.loads(path.with_suffix(".json").read_text())
+    with np.load(path.with_suffix(".npz")) as z:
+        pages = z["pages"]
+
+    engine.grx = GalTime(meta["grx_week"], meta["grx_sec"])
+    engine.g0 = GalTime(meta["g0_week"], meta["g0_sec"])
+    engine.numd = meta["numd"]
+    engine.current_eph = list(meta["current_eph"])
+    engine.bank.allocated = {int(k): v for k, v in meta["allocated"].items()}
+    for i, (c, m) in enumerate(zip(engine.bank.channels, meta["channels"])):
+        c.prn = m["prn"]
+        c.carr_phase = m["carr_phase"]
+        c.f_carr = m["f_carr"]
+        c.f_code = m["f_code"]
+        c.code_phase = m["code_phase"]
+        c.ibit = m["ibit"]
+        c.ipage = m["ipage"]
+        c.rho0_range = m["rho0_range"]
+        c.azel = tuple(m["azel"])
+        c.eph_index = m["eph_index"]
+        c.page = pages[i].copy()
+    # epochs already produced: (grx - g0)/dt - 2 (two pre-loop increments)
+    from .constants import EPOCH_DT
+
+    done = int(round((engine.grx - engine.g0) / EPOCH_DT)) - 2
+    return max(done, 0)

@@ -101,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-u", dest="umfile", metavar="FILE", help="user-motion file")
     p.add_argument("--mode", choices=("float", "lut512"), default="float")
+    p.add_argument("--engine", choices=("kp", "direct"), default="kp",
+                   help="synthesis engine: factorized (K,p) production path "
+                        "or the direct reference formulation")
     p.add_argument("--block-epochs", type=int, default=None,
                    help="epochs per device call (default 8; 1 when -i for "
                         "low-latency live position updates)")
@@ -192,8 +195,8 @@ def main(argv=None) -> int:
     status_cb = _status_printer(engine, g0) if args.verbose else None
     block_epochs = args.block_epochs or (1 if args.interactive else 8)
     synth = StreamingSynthesizer(
-        engine, sink, mode=args.mode, block_epochs=block_epochs,
-        status_cb=status_cb,
+        engine, sink, mode=args.mode, synth_engine=args.engine,
+        block_epochs=block_epochs, status_cb=status_cb,
     )
 
     def _sigint(signum, frame):

@@ -1,0 +1,138 @@
+"""ctypes bindings for the native I/Q ring buffer (native/iqring.cpp).
+
+The native ring is the real-time transport: a C++ SPSC ring buffer with a
+background consumer thread (file/UDP), replacing the reference's pthread
+FIFO + tx_task pair (reference: src/fifo.cpp, src/main.cpp:55-127).  The
+producer side (`NativeFifoSink.write`) applies backpressure exactly like
+the reference's fifo_write_ready wait when the consumer falls behind.
+
+The shared library is built on first use with g++ (no pip deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..constants import FIFO_LENGTH, SAMPLES_PER_BUFFER
+from .sinks import Sink
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libiqring.so"
+_build_lock = threading.Lock()
+_lib = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _build_lock:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.iqring_create.restype = ctypes.c_void_p
+        lib.iqring_create.argtypes = [ctypes.c_size_t]
+        lib.iqring_destroy.argtypes = [ctypes.c_void_p]
+        lib.iqring_write.restype = ctypes.c_size_t
+        lib.iqring_write.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+        ]
+        lib.iqring_read.restype = ctypes.c_size_t
+        lib.iqring_read.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+        ]
+        lib.iqring_close.argtypes = [ctypes.c_void_p]
+        lib.iqring_available.restype = ctypes.c_size_t
+        lib.iqring_available.argtypes = [ctypes.c_void_p]
+        lib.iqring_free_space.restype = ctypes.c_size_t
+        lib.iqring_free_space.argtypes = [ctypes.c_void_p]
+        lib.iqring_start_file_consumer.restype = ctypes.c_int
+        lib.iqring_start_file_consumer.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.iqring_start_udp_consumer.restype = ctypes.c_int
+        lib.iqring_start_udp_consumer.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t,
+        ]
+        lib.iqring_stop.argtypes = [ctypes.c_void_p]
+        lib.iqring_consumed.restype = ctypes.c_uint64
+        lib.iqring_consumed.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+class IqRing:
+    """Thin object wrapper over the C ring."""
+
+    def __init__(self, capacity_samples: int = FIFO_LENGTH):
+        self._lib = _load()
+        self._ptr = self._lib.iqring_create(capacity_samples)
+        if not self._ptr:
+            raise MemoryError("iqring_create failed")
+
+    def write(self, iq: np.ndarray) -> int:
+        flat = np.ascontiguousarray(iq, dtype=np.int16).reshape(-1)
+        assert flat.size % 2 == 0
+        ptr = flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        return self._lib.iqring_write(self._ptr, ptr, flat.size // 2)
+
+    def read(self, max_samples: int) -> np.ndarray:
+        out = np.empty(max_samples * 2, dtype=np.int16)
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        n = self._lib.iqring_read(self._ptr, ptr, max_samples)
+        return out[: n * 2]
+
+    def start_file_consumer(self, path: str,
+                            chunk: int = SAMPLES_PER_BUFFER) -> None:
+        rc = self._lib.iqring_start_file_consumer(
+            self._ptr, str(path).encode(), chunk
+        )
+        if rc != 0:
+            raise OSError(f"cannot open consumer file {path}")
+
+    def start_udp_consumer(self, host: str, port: int,
+                           chunk: int = 8192) -> None:
+        rc = self._lib.iqring_start_udp_consumer(
+            self._ptr, host.encode(), port, chunk
+        )
+        if rc != 0:
+            raise OSError("cannot open consumer socket")
+
+    @property
+    def available(self) -> int:
+        return self._lib.iqring_available(self._ptr)
+
+    @property
+    def free_space(self) -> int:
+        return self._lib.iqring_free_space(self._ptr)
+
+    @property
+    def consumed(self) -> int:
+        return self._lib.iqring_consumed(self._ptr)
+
+    def close(self) -> None:
+        if self._ptr:
+            self._lib.iqring_stop(self._ptr)
+            self._lib.iqring_destroy(self._ptr)
+            self._ptr = None
+
+
+class NativeFifoSink(Sink):
+    """Sink backed by the native ring + file consumer thread."""
+
+    def __init__(self, path: str, capacity_samples: int = FIFO_LENGTH):
+        self.ring = IqRing(capacity_samples)
+        self.ring.start_file_consumer(path)
+
+    def write(self, iq: np.ndarray) -> None:
+        self.ring.write(iq)  # blocks when the consumer falls behind
+
+    def close(self) -> None:
+        self.ring.close()

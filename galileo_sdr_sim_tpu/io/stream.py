@@ -22,6 +22,7 @@ import numpy as np
 
 from ..constants import NUM_IQ_SAMPLES
 from ..ops.synth import TILE, prepare_device_inputs, synth_block
+from ..ops.synth_kp import P_GRID, ROWS, prepare_kp_inputs, synth_block_kp
 from ..scenario import EpochStateTable, ScenarioEngine
 from .sinks import Sink
 
@@ -49,14 +50,22 @@ class StreamingSynthesizer:
         engine: ScenarioEngine,
         sink: Sink,
         mode: str = "float",
+        synth_engine: str = "kp",
         tile: int = TILE,
         block_epochs: int = 8,
         nsamples: int = NUM_IQ_SAMPLES,
         status_cb: Callable[[EpochStateTable, StreamStats], None] | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 300,
     ):
         self.engine = engine
         self.sink = sink
         self.mode = mode
+        # the factorized engine needs whole (8 x 1300)-sample row cycles
+        # and implements the float carrier only
+        if nsamples % (ROWS * P_GRID) != 0 or mode == "lut512":
+            synth_engine = "direct"
+        self.synth_engine = synth_engine
         self.tile = tile
         self.block_epochs = block_epochs
         self.nsamples = nsamples  # != NUM_IQ_SAMPLES only in tests
@@ -64,23 +73,46 @@ class StreamingSynthesizer:
         self.stats = StreamStats()
         self._stop = False
         self._code_cache: dict = {}
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every  # epochs between snapshots
+        self._start_epoch = 1
+        if checkpoint_path is not None:
+            from pathlib import Path
+
+            if Path(checkpoint_path).with_suffix(".json").exists():
+                from ..checkpoint import load_state
+
+                done = load_state(engine, checkpoint_path)
+                self._start_epoch = done + 1
 
     def stop(self) -> None:
         self._stop = True
 
     def _device_blocks(self) -> Iterator[tuple[object, object, int]]:
-        for batch in self.engine.batches(self.block_epochs):
+        for batch in self.engine.batches(
+            self.block_epochs, start=self._start_epoch
+        ):
             n_real = batch.f_code.shape[0]
             # pad to a fixed epoch count -> exactly one XLA compile; cache
             # the code slabs on device across blocks
-            inputs = prepare_device_inputs(
-                batch,
-                self.tile,
-                self.nsamples,
-                pad_epochs=self.block_epochs,
-                code_cache=self._code_cache,
-            )
-            yield batch, synth_block(inputs, tile=self.tile, mode=self.mode), n_real
+            if self.synth_engine == "kp":
+                inputs = prepare_kp_inputs(
+                    batch,
+                    self.nsamples,
+                    pad_epochs=self.block_epochs,
+                    code_cache=self._code_cache,
+                )
+                fut = synth_block_kp(inputs, n_k=self.nsamples // P_GRID)
+            else:
+                inputs = prepare_device_inputs(
+                    batch,
+                    self.tile,
+                    self.nsamples,
+                    pad_epochs=self.block_epochs,
+                    code_cache=self._code_cache,
+                )
+                fut = synth_block(inputs, tile=self.tile, mode=self.mode)
+            yield batch, fut, n_real
 
     def run(self) -> StreamStats:
         t0 = time.perf_counter()
@@ -103,3 +135,10 @@ class StreamingSynthesizer:
         self.stats.samples += n_real * self.nsamples
         if self.status_cb is not None:
             self.status_cb(batch, self.stats)
+        if (
+            self.checkpoint_path is not None
+            and self.stats.epochs % self.checkpoint_every < n_real
+        ):
+            from ..checkpoint import save_state
+
+            save_state(self.engine, self.checkpoint_path)

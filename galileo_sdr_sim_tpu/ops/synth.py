@@ -37,7 +37,8 @@ from ..constants import CA_SEQ_LEN_E1, LUT_AMPLITUDE, NUM_IQ_SAMPLES, SAMP_RATE
 from ..scenario import EpochBatch
 
 DELT = 1.0 / SAMP_RATE
-TILE = 2048  # samples per seeded tile (16 VPU sublane rows of 128 lanes)
+TILE = 32768  # samples per seeded tile; large tiles amortize per-tile
+# overhead (measured fastest on v5e; see docs/kernel_design.md)
 
 
 def padded_samples(nsamples: int, tile: int = TILE) -> int:
@@ -147,8 +148,13 @@ def synth_accum(
 
     j = jnp.arange(tile, dtype=jnp.float32)  # (T,)
     total = cp_base[..., None] + a[:, :, None, None] * j  # (B,C,nt,T)
-    wrap = (total >= CA_SEQ_LEN_E1).astype(jnp.int32)
-    icode = (2.0 * total).astype(jnp.int32) - 2 * CA_SEQ_LEN_E1 * wrap
+    # wrap count within the tile: tiles can span several code periods.
+    # f32 rounding at period boundaries can land rem a hair outside
+    # [0, 4092); the clip bounds the half-chip index, costing at most a
+    # one-ULP-late chip transition.
+    wrap = jnp.floor(total * jnp.float32(1.0 / CA_SEQ_LEN_E1)).astype(jnp.int32)
+    rem = total - jnp.float32(CA_SEQ_LEN_E1) * wrap
+    icode = jnp.clip((2.0 * rem).astype(jnp.int32), 0, 2 * CA_SEQ_LEN_E1 - 1)
 
     chip_b = _gather_codes(codes_b, icode)
     chip_c = _gather_codes(codes_c, icode)

@@ -156,8 +156,10 @@ class ScenarioEngine:
     def __len__(self) -> int:
         return max(self.numd - 1, 0)
 
-    def epochs(self) -> Iterator[EpochStateTable]:
-        for iumd in range(1, self.numd):
+    def epochs(self, start: int = 1) -> Iterator[EpochStateTable]:
+        """Yield epoch state tables; `start` > 1 continues a resumed run
+        (see checkpoint.py) — grx/channel state must already be restored."""
+        for iumd in range(start, self.numd):
             yield self._step(iumd)
 
     def _step(self, iumd: int) -> EpochStateTable:
@@ -247,11 +249,11 @@ class ScenarioEngine:
         self.grx = grx + EPOCH_DT
         return tab
 
-    def batches(self, block_epochs: int) -> Iterator[EpochBatch]:
+    def batches(self, block_epochs: int, start: int = 1) -> Iterator[EpochBatch]:
         """Group consecutive epochs into device-sized batches; a batch is
         cut early whenever the channel->PRN mapping changes."""
         pending: list[EpochStateTable] = []
-        for tab in self.epochs():
+        for tab in self.epochs(start):
             if pending and (
                 len(pending) >= block_epochs
                 or not np.array_equal(pending[-1].prn, tab.prn)
