@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-epochs", type=int, default=None,
                    help="epochs per device call (default 8; 1 when -i for "
                         "low-latency live position updates)")
+    p.add_argument("--checkpoint", metavar="FILE",
+                   help="snapshot scenario state every 30 s; resumes "
+                        "automatically if the file exists")
     p.add_argument("--apply-gain", action="store_true",
                    help="apply per-channel path-loss/antenna gain to the mix "
                         "(the reference computes but does not apply it)")
@@ -197,6 +200,7 @@ def main(argv=None) -> int:
     synth = StreamingSynthesizer(
         engine, sink, mode=args.mode, synth_engine=args.engine,
         block_epochs=block_epochs, status_cb=status_cb,
+        checkpoint_path=args.checkpoint, apply_gain=args.apply_gain,
     )
 
     def _sigint(signum, frame):

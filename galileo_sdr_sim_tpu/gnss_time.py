@@ -36,6 +36,12 @@ class GalTime:
     def __sub__(self, other: "GalTime") -> float:
         return (self.sec - other.sec) + (self.week - other.week) * SECONDS_IN_WEEK
 
+    def normalized(self) -> "GalTime":
+        """Roll seconds into [0, 604800), adjusting the week."""
+        w, s = self.week, self.sec
+        dw = int(s // SECONDS_IN_WEEK)
+        return GalTime(w + dw, s - dw * SECONDS_IN_WEEK)
+
 
 @dataclass
 class DateTime:

@@ -57,6 +57,7 @@ class StreamingSynthesizer:
         status_cb: Callable[[EpochStateTable, StreamStats], None] | None = None,
         checkpoint_path: str | None = None,
         checkpoint_every: int = 300,
+        apply_gain: bool = False,
     ):
         self.engine = engine
         self.sink = sink
@@ -73,6 +74,7 @@ class StreamingSynthesizer:
         self.stats = StreamStats()
         self._stop = False
         self._code_cache: dict = {}
+        self.apply_gain = apply_gain
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every  # epochs between snapshots
         self._start_epoch = 1
@@ -101,6 +103,7 @@ class StreamingSynthesizer:
                     self.nsamples,
                     pad_epochs=self.block_epochs,
                     code_cache=self._code_cache,
+                    apply_gain=self.apply_gain,
                 )
                 fut = synth_block_kp(inputs, n_k=self.nsamples // P_GRID)
             else:

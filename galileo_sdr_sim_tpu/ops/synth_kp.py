@@ -118,10 +118,14 @@ def prepare_kp_inputs(
     pad_epochs: int | None = None,
     code_cache: dict | None = None,
     compact: bool = True,
+    apply_gain: bool = False,
 ) -> dict:
     """Host float64 seeding -> per-(epoch, channel) scalars + packed codes.
 
     nsamples must be a multiple of 8*1300 = 10400 (one full row cycle).
+    `apply_gain` weights each channel by its path-loss/antenna gain
+    normalized to <= 1 (the reference computes but never applies this,
+    galileo-sdr.cpp:520-521; extension, off by default).
     """
     if compact:
         batch = compact_channels(batch)
@@ -143,6 +147,15 @@ def prepare_kp_inputs(
         if code_cache is not None:
             code_cache.update(key=key, vpack=vpack)
 
+    sym_f = batch.sym_win.astype(np.float32)
+    pil_f = batch.pilot_win.astype(np.float32)
+    if apply_gain:
+        g = batch.gain.astype(np.float64) / 128.0  # path_loss*ant (unit-ish)
+        peak = max(g.max(), 1e-9)
+        scale = (g / peak)[:, :, None].astype(np.float32)
+        sym_f = sym_f * scale
+        pil_f = pil_f * scale
+
     return dict(
         cp0=jnp.asarray(batch.code_phase0, jnp.float32),  # (B, C) [chips]
         two_a=jnp.asarray(2.0 * a, jnp.float32),  # half-chips/sample
@@ -150,8 +163,8 @@ def prepare_kp_inputs(
         carr0=jnp.asarray(batch.carr_phase0, jnp.float32),
         fc=jnp.asarray(fc, jnp.float32),
         fc_k=jnp.asarray(fc_k, jnp.float32),
-        sym_win=jnp.asarray(batch.sym_win, jnp.float32),  # (B, C, 32) ±1
-        pilot_win=jnp.asarray(batch.pilot_win, jnp.float32),
+        sym_win=jnp.asarray(sym_f),  # (B, C, 32) ±1 (x gain if enabled)
+        pilot_win=jnp.asarray(pil_f),
         vpack=vpack,  # (C, 1023, 32) f32
     )
 

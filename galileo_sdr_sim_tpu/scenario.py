@@ -307,8 +307,10 @@ def scenario_start_time(
         nav.iono.tot = int(gtmp.sec)
         for recs in nav.eph:
             for rec in recs:
-                rec.toc = rec.toc + dsec
-                rec.toe = rec.toe + dsec
+                # normalize so satpos week-wrapped time differences and the
+                # Earth-rotation term (OMEGA_EARTH * toe.sec) stay valid
+                rec.toc = (rec.toc + dsec).normalized()
+                rec.toe = (rec.toe + dsec).normalized()
         return g0
     if (g0 - gmin) < 0.0 or (gmax - g0) < 0.0:
         t0 = gal2date(g0)

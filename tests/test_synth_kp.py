@@ -78,3 +78,15 @@ def test_kp_sharded_matches(batch_1s, kp_out):
     n_real = batch_1s.f_code.shape[0]
     # psum partial-sum association differs from a single-device reduction
     assert (out[:n_real] == kp_out).mean() > 0.999
+
+
+def test_apply_gain(batch_1s):
+    """Gain weighting scales per-channel amplitudes without clipping."""
+    base = synth_batch_kp_host(batch_1s, NS)
+    inp = prepare_kp_inputs(batch_1s, NS, apply_gain=True)
+    weighted = np.asarray(synth_block_kp(inp, n_k=NS // P_GRID))[:, : 2 * NS]
+    # weighted signal has strictly less power (gains <= 1) but same format
+    assert np.abs(weighted).max() <= np.abs(base).max()
+    p_base = np.mean(base[0].astype(float) ** 2)
+    p_w = np.mean(weighted[0].astype(float) ** 2)
+    assert 0.05 * p_base < p_w < p_base
