@@ -9,7 +9,8 @@ Baseline: the reference C++ simulator's hot loop sustains the real-time
 rate of 2.6 Msps on one CPU core (BASELINE.md; src/galileo-sdr.cpp:481-539).
 vs_baseline is therefore the real-time factor.
 
-Methodology: the factorized (K,p) engine (ops/synth_kp.py) is invoked
+Methodology: the fused Pallas (K,p) engine (ops/synth_kp_pallas.py; the
+XLA formulation ops/synth_kp.py is the non-TPU fallback) is invoked
 inside a jitted fori_loop with a feedback dependency between iterations
 and a final scalar readback, so asynchronous dispatch, relay-side
 buffering, or result caching cannot inflate the number — this measures
@@ -30,8 +31,9 @@ def main() -> None:
     from galileo_sdr_sim_tpu.gnss_time import DateTime, date2gal
     from galileo_sdr_sim_tpu.ops.synth_kp import (
         K_EPOCH,
+        accum_kp,
+        default_engine,
         prepare_kp_inputs,
-        synth_accum_kp,
     )
     from galileo_sdr_sim_tpu.rinex import read_rinex_v3
     from galileo_sdr_sim_tpu.scenario import (
@@ -43,15 +45,18 @@ def main() -> None:
     rinex = "/root/reference/rinex_files/20feb2022.rnx"
     nav = read_rinex_v3(rinex)
     g0 = scenario_start_time(nav, date2gal(DateTime(2022, 2, 20, 8, 0, 1)))
+    B = 32
     eng = ScenarioEngine(
         nav,
         PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
         g0,
-        duration_s=2.0,
+        duration_s=0.1 * B + 0.5,
     )
-    B = 8
     batch = next(eng.batches(B))
-    inputs = prepare_kp_inputs(batch, NUM_IQ_SAMPLES, pad_epochs=B)
+    engine = default_engine()
+    inputs = prepare_kp_inputs(
+        batch, NUM_IQ_SAMPLES, pad_epochs=B, pack_g=engine == "pallas"
+    )
 
     R = 10
 
@@ -60,7 +65,7 @@ def main() -> None:
         def body(i, carry):
             inp = dict(inputs)
             inp["carr0"] = inputs["carr0"] + carry * 1e-9
-            acc = synth_accum_kp(inp, n_k=K_EPOCH)
+            acc = accum_kp(inp, n_k=K_EPOCH, engine=engine)
             return carry + jnp.sum(acc[:, ::1313, 0]) * 1e-12
         return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
 

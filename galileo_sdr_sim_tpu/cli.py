@@ -101,9 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-u", dest="umfile", metavar="FILE", help="user-motion file")
     p.add_argument("--mode", choices=("float", "lut512"), default="float")
-    p.add_argument("--engine", choices=("kp", "direct"), default="kp",
-                   help="synthesis engine: factorized (K,p) production path "
-                        "or the direct reference formulation")
+    p.add_argument("--engine", choices=("auto", "kp_pallas", "kp", "direct"),
+                   default="auto",
+                   help="synthesis engine: 'auto' = fused Pallas kernel on "
+                        "TPU / XLA (K,p) elsewhere; 'kp_pallas'/'kp' force "
+                        "one; 'direct' = the direct reference formulation")
     p.add_argument("--block-epochs", type=int, default=None,
                    help="epochs per device call (default 8; 1 when -i for "
                         "low-latency live position updates)")

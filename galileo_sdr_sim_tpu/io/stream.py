@@ -22,7 +22,13 @@ import numpy as np
 
 from ..constants import NUM_IQ_SAMPLES
 from ..ops.synth import TILE, prepare_device_inputs, synth_block
-from ..ops.synth_kp import P_GRID, ROWS, prepare_kp_inputs, synth_block_kp
+from ..ops.synth_kp import (
+    P_GRID,
+    ROWS,
+    default_engine,
+    prepare_kp_inputs,
+    synth_block_kp,
+)
 from ..scenario import EpochStateTable, ScenarioEngine
 from .sinks import Sink
 
@@ -50,7 +56,7 @@ class StreamingSynthesizer:
         engine: ScenarioEngine,
         sink: Sink,
         mode: str = "float",
-        synth_engine: str = "kp",
+        synth_engine: str = "auto",
         tile: int = TILE,
         block_epochs: int = 8,
         nsamples: int = NUM_IQ_SAMPLES,
@@ -62,8 +68,15 @@ class StreamingSynthesizer:
         self.engine = engine
         self.sink = sink
         self.mode = mode
-        # the factorized engine needs whole (8 x 1300)-sample row cycles
-        # and implements the float carrier only
+        # 'auto' -> fused Pallas kernel on TPU, XLA (K,p) elsewhere
+        if synth_engine in ("auto", "kp"):
+            synth_engine = (
+                "kp_pallas"
+                if synth_engine == "auto" and default_engine() == "pallas"
+                else "kp"
+            )
+        # the factorized engines need whole (8 x 1300)-sample row cycles
+        # and implement the float carrier only
         if nsamples % (ROWS * P_GRID) != 0 or mode == "lut512":
             synth_engine = "direct"
         self.synth_engine = synth_engine
@@ -97,15 +110,20 @@ class StreamingSynthesizer:
             n_real = batch.f_code.shape[0]
             # pad to a fixed epoch count -> exactly one XLA compile; cache
             # the code slabs on device across blocks
-            if self.synth_engine == "kp":
+            if self.synth_engine in ("kp", "kp_pallas"):
                 inputs = prepare_kp_inputs(
                     batch,
                     self.nsamples,
                     pad_epochs=self.block_epochs,
                     code_cache=self._code_cache,
                     apply_gain=self.apply_gain,
+                    pack_g=self.synth_engine == "kp_pallas",
                 )
-                fut = synth_block_kp(inputs, n_k=self.nsamples // P_GRID)
+                fut = synth_block_kp(
+                    inputs,
+                    n_k=self.nsamples // P_GRID,
+                    engine="pallas" if self.synth_engine == "kp_pallas" else "xla",
+                )
             else:
                 inputs = prepare_device_inputs(
                     batch,

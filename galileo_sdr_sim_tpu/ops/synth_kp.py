@@ -82,6 +82,29 @@ def _pack_codes(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pack_codes_g(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
+    """(C, 8184) x2 int8 -> (C, 8184, 32) float32 direct-G row table.
+
+    vpack_g[c, G, code*16 + shift*8 + rho]
+        = code_flat[c, (1023*rho + G + shift) % 8184]
+
+    Indexed directly by the flat half-chip base G = gbm(p), this table
+    returns already row-ALIGNED planes — the (rho + q0) % 8 one-hot
+    alignment einsum of the h-indexed table becomes unnecessary, because
+    (1023*rho + G) mod 8184 wraps rows exactly where rho + q0 >= 8.
+    Used by the fused Pallas engine (ops/synth_kp_pallas.py).
+    """
+    C = codes_b.shape[0]
+    out = np.zeros((C, ROWS * COLS, W_PACK), np.float32)
+    for ci, flat in enumerate((codes_b, codes_c)):
+        for shift in range(2):
+            for r in range(ROWS):
+                out[:, :, ci * 16 + shift * 8 + r] = np.roll(
+                    flat, -(COLS * r + shift), axis=1
+                )
+    return out
+
+
 def compact_channels(batch: EpochBatch, multiple: int = 8) -> EpochBatch:
     """Drop idle channel slots, keeping a channel count that is a multiple
     of `multiple` (sublane-friendly).  The channel sum is unchanged —
@@ -119,6 +142,7 @@ def prepare_kp_inputs(
     code_cache: dict | None = None,
     compact: bool = True,
     apply_gain: bool = False,
+    pack_g: bool = False,
 ) -> dict:
     """Host float64 seeding -> per-(epoch, channel) scalars + packed codes.
 
@@ -139,13 +163,18 @@ def prepare_kp_inputs(
     fc_k = fc * P_GRID
     fc_k = fc_k - np.floor(fc_k)
 
-    key = batch.prn.tobytes()
+    key = (batch.prn.tobytes(), pack_g)
     if code_cache is not None and code_cache.get("key") == key:
         vpack = code_cache["vpack"]
+        vpack_g = code_cache.get("vpack_g")
     else:
         vpack = jnp.asarray(_pack_codes(batch.codes_b, batch.codes_c))
+        vpack_g = (
+            jnp.asarray(_pack_codes_g(batch.codes_b, batch.codes_c))
+            if pack_g else None
+        )
         if code_cache is not None:
-            code_cache.update(key=key, vpack=vpack)
+            code_cache.update(key=key, vpack=vpack, vpack_g=vpack_g)
 
     sym_f = batch.sym_win.astype(np.float32)
     pil_f = batch.pilot_win.astype(np.float32)
@@ -156,7 +185,7 @@ def prepare_kp_inputs(
         sym_f = sym_f * scale
         pil_f = pil_f * scale
 
-    return dict(
+    out = dict(
         cp0=jnp.asarray(batch.code_phase0, jnp.float32),  # (B, C) [chips]
         two_a=jnp.asarray(2.0 * a, jnp.float32),  # half-chips/sample
         mu=jnp.asarray(mu, jnp.float32),
@@ -167,6 +196,9 @@ def prepare_kp_inputs(
         pilot_win=jnp.asarray(pil_f),
         vpack=vpack,  # (C, 1023, 32) f32
     )
+    if pack_g:
+        out["vpack_g"] = vpack_g  # (C, 8184, 32) f32
+    return out
 
 
 def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
@@ -273,18 +305,40 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
     return iq.reshape(B, n_k * P_GRID, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("n_k",))
-def synth_block_kp(inputs: dict, n_k: int = K_EPOCH) -> jax.Array:
+def default_engine() -> str:
+    """'pallas' on TPU backends, 'xla' elsewhere (the fused Pallas kernel
+    is TPU-only; the XLA lowering runs everywhere)."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def accum_kp(inputs: dict, n_k: int, engine: str = "xla") -> jax.Array:
+    """Engine-dispatched accumulator.  'pallas' = fused VMEM kernel
+    (ops/synth_kp_pallas.py, ~2.6x the XLA lowering on v5e); 'xla' = the
+    pure-jnp formulation below.  Both compute identical f32 math."""
+    if engine == "pallas":
+        from .synth_kp_pallas import synth_accum_kp_pallas
+
+        return synth_accum_kp_pallas(inputs, n_k=n_k)
+    return synth_accum_kp(inputs, n_k=n_k)
+
+
+@functools.partial(jax.jit, static_argnames=("n_k", "engine"))
+def synth_block_kp(
+    inputs: dict, n_k: int = K_EPOCH, engine: str = "xla"
+) -> jax.Array:
     """(B, 2 * n_k * 1300) interleaved int16 I/Q."""
-    acc = synth_accum_kp(inputs, n_k=n_k)
+    acc = accum_kp(inputs, n_k=n_k, engine=engine)
     B = acc.shape[0]
     return jnp.trunc(acc).astype(jnp.int16).reshape(B, -1)
 
 
 def synth_batch_kp_host(
-    batch: EpochBatch, nsamples: int = NUM_IQ_SAMPLES
+    batch: EpochBatch,
+    nsamples: int = NUM_IQ_SAMPLES,
+    engine: str | None = None,
 ) -> np.ndarray:
     """Convenience wrapper -> (B, 2*nsamples) int16 on host."""
-    inputs = prepare_kp_inputs(batch, nsamples)
-    out = synth_block_kp(inputs, n_k=nsamples // P_GRID)
+    engine = engine or default_engine()
+    inputs = prepare_kp_inputs(batch, nsamples, pack_g=engine == "pallas")
+    out = synth_block_kp(inputs, n_k=nsamples // P_GRID, engine=engine)
     return np.asarray(out)[:, : 2 * nsamples]

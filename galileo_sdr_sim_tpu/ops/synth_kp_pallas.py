@@ -1,0 +1,232 @@
+"""Fused Pallas TPU kernel for the (K, p) synthesis engine's hot chain.
+
+Motivation (measured on v5e, honest chained harness — see
+docs/kernel_design.md): the XLA lowering of ops/synth_kp.py materializes
+the ~25-op full-rank (B, C, K, p) elementwise chain through HBM, running
+at ~3% of the VPU's ~3.8 Tops/s f32 peak (12.6 ms of a 15.7 ms call at
+B=32).  This kernel performs the identical math entirely in VMEM.
+
+Structure: grid = (B, n_kap) where n_kap = n_k // 8.  Each program
+computes one (8, 1300) tile of 8 consecutive K rows (K = 8*kap + rho)
+for all channels:
+
+    for c in 0..C:
+        delta  = floor(psi_c + mu_c * K)            in {0, 1}
+        chip_b = a0b_c + delta * dab_c              (aligned BOC planes)
+        chip_c = a0c_c + delta * dac_c
+        bsel   = b0_c + delta * db_c                (code-period carry)
+        d_val  = d_lo + bsel * d_df                 (symbol select;
+        s_val  = s_lo + bsel * s_df                  scalars from SMEM)
+        m      = chip_b * d_val - chip_c * s_val
+        cis    = cis_K(8,1) (computed in-kernel) x cis_p(1,1300)
+        acc   += m * cis
+    out[kap] = amp * acc
+
+All operands are prepared at <= (B, C, 8, 1300) rank by XLA (gather,
+row-alignment einsum, plane diffs — cheap); the p axis is padded to
+1408 lanes (11 x 128) to satisfy Mosaic's lane tiling, and the kap-
+constant inputs keep a constant index map so they are fetched into VMEM
+once per b, not per program.
+
+Semantics match ops/synth_kp.synth_accum_kp (same formulas and f32 tile
+math; the channel reduction is sequential here vs XLA's tree reduction,
+so results agree to float32 tolerance, not bit-exactly).  Validated in
+tests/test_synth_kp_pallas.py.
+
+Reference behavior being implemented: the per-sample mixing loop of
+src/galileo-sdr.cpp:481-539 (chip fetch, symbol, carrier, accumulate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import LUT_AMPLITUDE
+from .synth_kp import COLS, P_GRID, ROWS
+
+P_PAD = 1408  # 11 x 128 lanes (p axis padded from 1300)
+_TWO_PI = 2.0 * np.pi
+
+
+def _pad_p(x: jax.Array) -> jax.Array:
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, P_PAD - P_GRID)]
+    return jnp.pad(x, pad)
+
+
+def prepare_pallas_operands(inputs: dict, n_k: int) -> dict:
+    """XLA-side prep: geometry, gather, row alignment, plane diffs.
+
+    Everything here is at most (B, C, 8, p)-rank — ~1/25 of the
+    full-rank chain — and feeds the fused kernel.  Identical math to
+    the corresponding prologue of synth_kp.synth_accum_kp.
+    """
+    cp0 = inputs["cp0"]
+    B, C = cp0.shape
+
+    p = jnp.arange(P_GRID, dtype=jnp.float32)
+    rho = jnp.arange(ROWS, dtype=jnp.float32)
+
+    phi = 2.0 * cp0[..., None] + inputs["two_a"][..., None] * p  # (B, C, p)
+    mu = inputs["mu"][..., None]
+    gb = jnp.floor(phi) + jnp.where(mu < 0, -1.0, 0.0)
+    psi = phi - gb
+    gbm = jnp.mod(gb, float(ROWS * COLS))
+
+    # chip planes: ONE 32-wide row-pull per (b, c, p) from the direct-G
+    # table (synth_kp._pack_codes_g) — rows arrive already aligned, no
+    # one-hot alignment einsum needed.
+    idx = gbm.astype(jnp.int32)
+    pulled = jax.vmap(
+        lambda ib: jax.vmap(lambda tab, ic: tab[ic])(inputs["vpack_g"], ib)
+    )(idx)  # (B, C, p, 32)
+    A = pulled.reshape(B, C, P_GRID, 2, 2, ROWS).transpose(0, 1, 3, 4, 5, 2)
+    a0b, a1b = A[:, :, 0, 0], A[:, :, 0, 1]  # (B, C, 8, p)
+    a0c, a1c = A[:, :, 1, 0], A[:, :, 1, 1]
+
+    # code-period carry: rho + q0 >= 8  <=>  gbm >= 1023 * (8 - rho)
+    thr = (float(COLS) * (float(ROWS) - rho))[None, None, :, None]
+    b0 = (gbm[:, :, None, :] >= thr).astype(jnp.float32)
+    b1 = (gbm[:, :, None, :] + 1.0 >= thr).astype(jnp.float32)
+    w8 = (gb >= float(ROWS * COLS)).astype(jnp.float32)  # (B, C, p)
+
+    ph_p = inputs["carr0"][..., None] + inputs["fc"][..., None] * p
+    ph_p = ph_p - jnp.floor(ph_p)
+    ang_p = jnp.float32(_TWO_PI) * ph_p
+    cpr = jnp.cos(ang_p)  # (B, C, p)
+    cpi = jnp.sin(ang_p)
+
+    return dict(
+        a0b=_pad_p(a0b), dab=_pad_p(a1b - a0b),
+        a0c=_pad_p(a0c), dac=_pad_p(a1c - a0c),
+        b0=_pad_p(b0), db=_pad_p(b1 - b0),
+        psi=_pad_p(psi), w8=_pad_p(w8),
+        cpr=_pad_p(cpr), cpi=_pad_p(cpi),
+        mu=inputs["mu"], fc_k=inputs["fc_k"],
+        sym=inputs["sym_win"], pil=inputs["pilot_win"],
+    )
+
+
+def _kernel(mu_s, fck_s, sym_s, pil_s,
+            a0b, dab, a0c, dac, b0, db, psi, w8, cpr, cpi,
+            out_i, out_q, *, C: int, kap_tile: int):
+    b = pl.program_id(0)
+    kap0 = pl.program_id(1) * kap_tile
+    amp = jnp.float32(LUT_AMPLITUDE)
+    rho8 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0).astype(jnp.float32)
+
+    for c in range(C):
+        # channel-invariant tiles, loaded once per (program, channel)
+        psi_c = psi[0, c].reshape(1, P_PAD)
+        w8_c = w8[0, c].reshape(1, P_PAD)
+        cpr_c = cpr[0, c].reshape(1, P_PAD)
+        cpi_c = cpi[0, c].reshape(1, P_PAD)
+        a0b_c, dab_c = a0b[0, c], dab[0, c]
+        a0c_c, dac_c = a0c[0, c], dac[0, c]
+        b0_c, db_c = b0[0, c], db[0, c]
+        mu_c = mu_s[b, c]
+        fck_c = fck_s[b, c]
+        for kt in range(kap_tile):
+            kap = kap0 + kt
+            k8 = jnp.float32(ROWS) * kap.astype(jnp.float32) + rho8  # (8, 1)
+            delta = jnp.floor(psi_c + mu_c * k8)  # (8, P_PAD)
+            chip_b = a0b_c + delta * dab_c
+            chip_c = a0c_c + delta * dac_c
+            bsel = b0_c + delta * db_c
+            # symbol scalars for code periods kap, kap+1, kap+2 (SMEM)
+            d0, d1, d2 = sym_s[b, c, kap], sym_s[b, c, kap + 1], sym_s[b, c, kap + 2]
+            s0, s1, s2 = pil_s[b, c, kap], pil_s[b, c, kap + 1], pil_s[b, c, kap + 2]
+            d_lo = d0 + w8_c * (d1 - d0)  # (1, P_PAD)
+            d_df = (d1 + w8_c * (d2 - d1)) - d_lo
+            s_lo = s0 + w8_c * (s1 - s0)
+            s_df = (s1 + w8_c * (s2 - s1)) - s_lo
+            d_val = d_lo + bsel * d_df
+            s_val = s_lo + bsel * s_df
+            m = chip_b * d_val - chip_c * s_val
+            # rank-1 carrier: K factor computed on an (8, 1) column
+            ph_k = fck_c * k8
+            ph_k = ph_k - jnp.floor(ph_k)
+            ang_k = jnp.float32(_TWO_PI) * ph_k
+            ckr = jnp.cos(ang_k)  # (8, 1)
+            cki = jnp.sin(ang_k)
+            cis_r = ckr * cpr_c - cki * cpi_c
+            cis_i = ckr * cpi_c + cki * cpr_c
+            v_i = m * cis_r
+            v_q = m * cis_i
+            rows = slice(kt * ROWS, (kt + 1) * ROWS)
+            if C == 1:
+                out_i[0, rows] = amp * v_i
+                out_q[0, rows] = amp * v_q
+            elif c == 0:
+                out_i[0, rows] = v_i
+                out_q[0, rows] = v_q
+            elif c == C - 1:
+                out_i[0, rows] = amp * (out_i[0, rows] + v_i)
+                out_q[0, rows] = amp * (out_q[0, rows] + v_q)
+            else:
+                out_i[0, rows] += v_i
+                out_q[0, rows] += v_q
+
+
+def synth_accum_kp_pallas(
+    inputs: dict, n_k: int, interpret: bool = False
+) -> jax.Array:
+    """Drop-in replacement for synth_kp.synth_accum_kp: (B, n_k*1300, 2)
+    float32 channel-summed accumulator, fused on the VPU."""
+    if "vpack_g" not in inputs:
+        raise ValueError(
+            "the Pallas engine needs the direct-G code table: call "
+            "prepare_kp_inputs(..., pack_g=True)"
+        )
+    ops = prepare_pallas_operands(inputs, n_k)
+    B, C = inputs["cp0"].shape
+    assert n_k % ROWS == 0, n_k
+    n_kap = n_k // ROWS
+    kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
+
+    def vspec(*shape):
+        # kap-constant VMEM block: fetched once per b
+        return pl.BlockSpec(
+            (1,) + shape, lambda b, kap: (b,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    # SMEM scalar tables are passed whole (unblocked) and indexed by
+    # program_id in the kernel — Mosaic requires full-array SMEM blocks.
+    sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+
+    out_spec = pl.BlockSpec(
+        (1, ROWS * kap_tile, P_PAD), lambda b, kap: (b, kap, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    order = ("mu", "fc_k", "sym", "pil",
+             "a0b", "dab", "a0c", "dac", "b0", "db",
+             "psi", "w8", "cpr", "cpi")
+    in_specs = [
+        sspec(), sspec(), sspec(), sspec(),
+        vspec(C, ROWS, P_PAD), vspec(C, ROWS, P_PAD),
+        vspec(C, ROWS, P_PAD), vspec(C, ROWS, P_PAD),
+        vspec(C, ROWS, P_PAD), vspec(C, ROWS, P_PAD),
+        vspec(C, P_PAD), vspec(C, P_PAD),
+        vspec(C, P_PAD), vspec(C, P_PAD),
+    ]
+    out_i, out_q = pl.pallas_call(
+        functools.partial(_kernel, C=C, kap_tile=kap_tile),
+        grid=(B, n_kap // kap_tile),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*(ops[k].astype(jnp.float32) for k in order))
+
+    iq = jnp.stack([out_i[:, :, :P_GRID], out_q[:, :, :P_GRID]], axis=-1)
+    return iq.reshape(B, n_k * P_GRID, 2)

@@ -128,18 +128,24 @@ def synth_batch_sharded(
 # --- factorized (K,p) engine sharding (production path) ---------------
 
 
-def sharded_kp_fn(mesh: Mesh, n_k: int):
+def sharded_kp_fn(mesh: Mesh, n_k: int, engine: str = "xla"):
     """Mesh-sharded factorized synthesis: epochs over 'time', channels
     over 'sat'; per-device partial channel sums combined with a psum over
-    ICI, exactly the reference's i_acc accumulation as a collective."""
-    from ..ops.synth_kp import synth_accum_kp
+    ICI, exactly the reference's i_acc accumulation as a collective.
+
+    engine='pallas' runs the fused VMEM kernel per shard (TPU meshes);
+    'xla' runs everywhere (the CPU dry-run mesh uses it)."""
+    from ..ops.synth_kp import accum_kp
+
+    table_key = "vpack_g" if engine == "pallas" else "vpack"
 
     def local_step(cp0, two_a, mu, carr0, fc, fc_k, sym_win, pilot_win, vpack):
-        inputs = dict(
-            cp0=cp0, two_a=two_a, mu=mu, carr0=carr0, fc=fc, fc_k=fc_k,
-            sym_win=sym_win, pilot_win=pilot_win, vpack=vpack,
-        )
-        acc = synth_accum_kp(inputs, n_k=n_k)
+        inputs = {
+            "cp0": cp0, "two_a": two_a, "mu": mu, "carr0": carr0,
+            "fc": fc, "fc_k": fc_k, "sym_win": sym_win,
+            "pilot_win": pilot_win, table_key: vpack,
+        }
+        acc = accum_kp(inputs, n_k=n_k, engine=engine)
         acc = jax.lax.psum(acc, axis_name="sat")
         return jnp.trunc(acc).astype(jnp.int16)
 
@@ -147,26 +153,35 @@ def sharded_kp_fn(mesh: Mesh, n_k: int):
     in_specs = (bc, bc, bc, bc, bc, bc,
                 P("time", "sat", None),  # sym_win
                 P("time", "sat", None),  # pilot_win
-                P("sat", None, None))    # vpack
+                P("sat", None, None))    # vpack / vpack_g
     out_spec = P("time", None, None)
-    fn = shard_map(local_step, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the vma checker (jax >= 0.5 shard_map) rejects
+    try:
+        fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_spec, check_vma=False)
+    except TypeError:  # older jax: kwarg was check_rep
+        fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_spec, check_rep=False)
     return jax.jit(fn)
 
 
 KP_ORDER = ("cp0", "two_a", "mu", "carr0", "fc", "fc_k",
-            "sym_win", "pilot_win", "vpack")
+            "sym_win", "pilot_win")
 
 
-def shard_kp_inputs(inputs: dict, mesh: Mesh) -> tuple:
+def shard_kp_inputs(inputs: dict, mesh: Mesh, engine: str = "xla") -> tuple:
     bc = P("time", "sat")
     specs = dict(
         cp0=bc, two_a=bc, mu=bc, carr0=bc, fc=bc, fc_k=bc,
         sym_win=P("time", "sat", None),
         pilot_win=P("time", "sat", None),
-        vpack=P("sat", None, None),
     )
+    table_key = "vpack_g" if engine == "pallas" else "vpack"
+    order = KP_ORDER + (table_key,)
+    specs[table_key] = P("sat", None, None)
     return tuple(
-        jax.device_put(inputs[k], NamedSharding(mesh, specs[k])) for k in KP_ORDER
+        jax.device_put(inputs[k], NamedSharding(mesh, specs[k])) for k in order
     )
 
 
@@ -175,20 +190,23 @@ def synth_batch_kp_sharded(
     mesh: Mesh,
     nsamples: int = NUM_IQ_SAMPLES,
     pad_epochs: int | None = None,
+    engine: str | None = None,
 ) -> np.ndarray:
     """Sharded production path: batch -> (B, 2*nsamples) int16 on host."""
-    from ..ops.synth_kp import P_GRID, prepare_kp_inputs
+    from ..ops.synth_kp import P_GRID, default_engine, prepare_kp_inputs
 
+    engine = engine or default_engine()
     n_sat = mesh.shape["sat"]
     n_time = mesh.shape["time"]
     inputs = prepare_kp_inputs(
         batch, nsamples, pad_epochs=pad_epochs,
         compact=False if n_sat > 1 else True,
+        pack_g=engine == "pallas",
     )
     B, C = inputs["cp0"].shape
     assert C % n_sat == 0, f"channels {C} not divisible by sat axis {n_sat}"
     assert B % n_time == 0, f"epochs {B} not divisible by time axis {n_time}"
 
-    fn = sharded_kp_fn(mesh, n_k=nsamples // P_GRID)
-    out = fn(*shard_kp_inputs(inputs, mesh))  # (B, n, 2)
+    fn = sharded_kp_fn(mesh, n_k=nsamples // P_GRID, engine=engine)
+    out = fn(*shard_kp_inputs(inputs, mesh, engine=engine))  # (B, n, 2)
     return np.asarray(out).reshape(out.shape[0], -1)[:, : 2 * nsamples]
