@@ -18,13 +18,22 @@ import numpy as np
 
 from .constants import MAX_CHAN, MAX_SAT
 from .gnss_time import GalTime
-from .scenario import ScenarioEngine
+from .scenario import EpochStateTable, ScenarioEngine
+
+_TAB_FIELDS = ("prn", "f_carr", "f_code", "code_phase0", "carr_phase0",
+               "ibit0", "sym_win", "pilot_win", "gain", "azel")
 
 
 def save_state(engine: ScenarioEngine, path: str | Path) -> None:
-    """Snapshot engine state after the most recent epoch."""
+    """Snapshot engine state after the most recent *yielded* epoch.
+
+    The chunked scenario fast-path commits engine state a whole chunk
+    ahead of the epochs actually consumed, so the not-yet-yielded lookahead
+    tabs are serialized too — resume is exact even mid-chunk."""
     chans = engine.bank.channels
     meta = {
+        "next_iumd": engine._next_iumd,
+        "pending_n": len(engine._pending),
         "grx_week": engine.grx.week,
         "grx_sec": engine.grx.sec,
         "g0_week": engine.g0.week,
@@ -54,8 +63,17 @@ def save_state(engine: ScenarioEngine, path: str | Path) -> None:
             for c in chans
         ]
     )
+    arrays = {"pages": pages}
+    if engine._pending:
+        arrays["pending_grx_sec"] = np.array(
+            [t.grx_sec for t in engine._pending]
+        )
+        for f in _TAB_FIELDS:
+            arrays[f"pending_{f}"] = np.stack(
+                [getattr(t, f) for t in engine._pending]
+            )
     path = Path(path)
-    np.savez_compressed(path.with_suffix(".npz"), pages=pages)
+    np.savez_compressed(path.with_suffix(".npz"), **arrays)
     path.with_suffix(".json").write_text(json.dumps(meta))
 
 
@@ -66,6 +84,14 @@ def load_state(engine: ScenarioEngine, path: str | Path) -> int:
     meta = json.loads(path.with_suffix(".json").read_text())
     with np.load(path.with_suffix(".npz")) as z:
         pages = z["pages"]
+        pending: list[EpochStateTable] = []
+        for k in range(int(meta.get("pending_n", 0))):
+            pending.append(
+                EpochStateTable(
+                    grx_sec=float(z["pending_grx_sec"][k]),
+                    **{f: z[f"pending_{f}"][k].copy() for f in _TAB_FIELDS},
+                )
+            )
 
     engine.grx = GalTime(meta["grx_week"], meta["grx_sec"])
     engine.g0 = GalTime(meta["g0_week"], meta["g0_sec"])
@@ -84,8 +110,14 @@ def load_state(engine: ScenarioEngine, path: str | Path) -> int:
         c.azel = tuple(m["azel"])
         c.eph_index = m["eph_index"]
         c.page = pages[i].copy()
-    # epochs already produced: (grx - g0)/dt - 2 (two pre-loop increments)
-    from .constants import EPOCH_DT
+    if "next_iumd" in meta:
+        done = int(meta["next_iumd"]) - 1
+    else:  # legacy snapshot: (grx - g0)/dt - 2 (two pre-loop increments)
+        from .constants import EPOCH_DT
 
-    done = int(round((engine.grx - engine.g0) / EPOCH_DT)) - 2
-    return max(done, 0)
+        done = int(round((engine.grx - engine.g0) / EPOCH_DT)) - 2
+    done = max(done, 0)
+    engine._pending = pending
+    engine._pending_base = done + 1
+    engine._next_iumd = done + 1
+    return done

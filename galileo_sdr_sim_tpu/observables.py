@@ -29,6 +29,9 @@ from .iono import ionospheric_delay
 from .rinex import IonoUtc
 
 
+_user_cache: dict = {}
+
+
 @dataclass
 class RangeSet:
     """Vectorized range_t (structures.h:129-137): arrays over a batch."""
@@ -65,9 +68,16 @@ def compute_range(
     dist = np.linalg.norm(los, axis=-1)
     prange = dist - SPEED_OF_LIGHT * clk[..., 0]
 
-    user_llh = geodesy.xyz2llh(xyz)
+    # receiver-side geodesy depends only on xyz (static across epochs in
+    # fixed-position scenarios) — single-entry cache
+    ukey = xyz.tobytes()
+    if _user_cache.get("key") == ukey:
+        user_llh, tmat = _user_cache["val"]
+    else:
+        user_llh = geodesy.xyz2llh(xyz)
+        tmat = geodesy.ltcmat(user_llh)
+        _user_cache.update(key=ukey, val=(user_llh, tmat))
     sat_llh = geodesy.xyz2llh(pos)
-    tmat = geodesy.ltcmat(user_llh)
     neu = geodesy.ecef2neu(los, tmat)
     azel = geodesy.neu2azel(neu)
 

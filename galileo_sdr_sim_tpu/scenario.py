@@ -138,6 +138,14 @@ class ScenarioEngine:
         self.g0 = g0
         self._delt = 1.0 / SAMP_RATE
         self._block_T = NUM_IQ_SAMPLES * self._delt
+        self._eph_cache: tuple = (None, None)
+        # chunked-lookahead buffer: tabs computed but not yet yielded.
+        # Engine state (grx, channels) is committed through the END of the
+        # buffered chunk; checkpoint.py serializes the buffer so resume is
+        # exact even mid-chunk.
+        self._pending: list[EpochStateTable] = []
+        self._pending_base: int = 0  # iumd of _pending[0]
+        self._next_iumd: int = 1  # next epoch index to be yielded
 
         llh0 = self.position.llh_deg(0)
         xyz0 = geodesy.llh2xyz(np.array([llh0[0] / R2D, llh0[1] / R2D, llh0[2]]))
@@ -156,11 +164,189 @@ class ScenarioEngine:
     def __len__(self) -> int:
         return max(self.numd - 1, 0)
 
+    # epochs per vectorized host chunk (fast path); chunks always end at
+    # 30 s reallocation boundaries so the channel map is constant within
+    CHUNK = 32
+
     def epochs(self, start: int = 1) -> Iterator[EpochStateTable]:
         """Yield epoch state tables; `start` > 1 continues a resumed run
-        (see checkpoint.py) — grx/channel state must already be restored."""
-        for iumd in range(start, self.numd):
-            yield self._step(iumd)
+        (see checkpoint.py) — grx/channel state must already be restored.
+
+        Positions known ahead of time (static / trajectory) take the
+        vectorized chunk path (one observables call per CHUNK epochs);
+        live UDP positions arrive per epoch and use the stepwise path."""
+        if self.position._live is not None:
+            for iumd in range(start, self.numd):
+                tab = self._step(iumd)
+                self._next_iumd = iumd + 1
+                yield tab
+            return
+        if self._pending and self._pending_base == start:
+            # resumed mid-chunk: engine state is already committed through
+            # the buffered chunk's end
+            iumd = self._pending_base + len(self._pending)
+        else:
+            self._pending = []
+            iumd = start
+        while iumd < self.numd or self._pending:
+            if not self._pending:
+                m = self._chunk_len(iumd)
+                self._pending = (
+                    self._step_block(iumd, m) if m > 1 else [self._step(iumd)]
+                )
+                self._pending_base = iumd
+                iumd += m if m > 1 else 1
+            tab = self._pending.pop(0)
+            self._pending_base += 1
+            self._next_iumd = self._pending_base
+            yield tab
+
+    def _chunk_len(self, iumd: int) -> int:
+        """Epochs from iumd up to and including the next reallocation
+        boundary (igrx % 300 == 0), capped at CHUNK / scenario end / week
+        rollover (satpos handles week wrap, but keep chunks single-week)."""
+        g = self.grx
+        m = 0
+        limit = min(self.CHUNK, self.numd - iumd)
+        while m < limit:
+            if g.week != self.grx.week:
+                break
+            m += 1
+            if int(g.sec * 10.0 + 0.5) % 300 == 0:
+                break
+            g = g + EPOCH_DT
+        return max(m, 1)
+
+    def _step_block(self, iumd0: int, m: int) -> list[EpochStateTable]:
+        """Vectorized equivalent of m sequential _step calls: one
+        compute_range / code_phase_state evaluation over (epoch, channel),
+        with the cheap per-epoch state carried in plain Python."""
+        nav, bank = self.nav, self.bank
+        gs = []
+        g = self.grx
+        for _ in range(m):
+            gs.append(g)
+            g = g + EPOCH_DT
+
+        llh_rows = np.stack(
+            [self.position.llh_deg(iumd0 + e) for e in range(m)]
+        ).astype(np.float64)
+        llh_rad = np.stack(
+            [llh_rows[:, 0] / R2D, llh_rows[:, 1] / R2D, llh_rows[:, 2]],
+            axis=-1,
+        )
+        xyz = geodesy.llh2xyz(llh_rad)  # (m, 3)
+        t_sec = np.array([gi.sec for gi in gs])  # (m,)
+
+        act = [
+            (i, chan) for i, chan in enumerate(bank.channels) if chan.prn > 0
+        ]
+        if act:
+            from .rinex import EphArrays
+
+            recs = []
+            for _, chan in act:
+                sv = chan.prn - 1
+                chan.eph_index = self.current_eph[sv]
+                recs.append(nav.eph[sv][self.current_eph[sv]])
+            key = tuple(id(r) for r in recs)
+            if self._eph_cache[0] == key:
+                eph_arr = self._eph_cache[1]
+            else:
+                eph_arr = EphArrays.from_records(recs)
+                self._eph_cache = (key, eph_arr)
+
+            rho = compute_range(
+                eph_arr.reshape((1, len(act))), nav.iono, gs[0].week,
+                t_sec[:, None], xyz[:, None, :],
+            )  # fields (m, S)
+            rho0 = np.concatenate(
+                [
+                    np.array([[chan.rho0_range for _, chan in act]]),
+                    rho.range[:-1],
+                ]
+            )
+            nco = code_phase_state(rho0, rho.range, EPOCH_DT, t_sec[:, None])
+            # gain (computed, not applied — galileo-sdr.cpp:470-477)
+            path_loss = 20200000.0 / rho.d
+            ibs = ((90.0 - rho.azel[..., 1] * R2D) / 5.0).astype(np.int64)
+            gains = (
+                path_loss * 10.0 ** (-ANT_PAT_DB[ibs] / 20.0) * 128.0
+            ).astype(np.float32)
+
+        sec = secondary_code()
+        tabs: list[EpochStateTable] = []
+        for e in range(m):
+            grx = gs[e]
+            tab = EpochStateTable(
+                grx_sec=grx.sec,
+                prn=np.zeros(MAX_CHAN, np.int32),
+                f_carr=np.zeros(MAX_CHAN),
+                f_code=np.full(MAX_CHAN, 1.023e6),
+                code_phase0=np.zeros(MAX_CHAN),
+                carr_phase0=np.zeros(MAX_CHAN),
+                ibit0=np.zeros(MAX_CHAN, np.int32),
+                sym_win=np.ones((MAX_CHAN, SYM_WIN), np.int8),
+                pilot_win=np.ones((MAX_CHAN, SYM_WIN), np.int8),
+                gain=np.zeros(MAX_CHAN, np.float32),
+                azel=np.zeros((MAX_CHAN, 2)),
+            )
+            for j, (i, chan) in enumerate(act):
+                chan.azel = (float(rho.azel[e, j, 0]), float(rho.azel[e, j, 1]))
+                chan.f_carr = float(nco.f_carr[e, j])
+                chan.f_code = float(nco.f_code[e, j])
+                chan.code_phase = float(nco.code_phase[e, j])
+                chan.ibit = int(nco.ibit[e, j])
+                chan.ipage = int(nco.ipage[e, j])
+                chan.rho0_range = float(rho.range[e, j])
+                tab.gain[i] = gains[e, j]
+
+                a = chan.f_code * self._delt
+                total_wraps = int(
+                    np.floor(
+                        (chan.code_phase + a * (NUM_IQ_SAMPLES - 1))
+                        / CA_SEQ_LEN_E1
+                    )
+                )
+                cur_page = chan.page
+                if chan.ibit + total_wraps >= N_SYM_PAGE:
+                    regenerate_page(chan, grx, nav)
+                nxt_page = chan.page
+
+                idx = chan.ibit + np.arange(SYM_WIN)
+                bits = np.where(
+                    idx < N_SYM_PAGE,
+                    cur_page[np.minimum(idx, N_SYM_PAGE - 1)],
+                    nxt_page[(idx - N_SYM_PAGE) % N_SYM_PAGE],
+                )
+                tab.sym_win[i] = np.where(bits > 0, -1, 1)
+                tab.pilot_win[i] = sec[idx % 25]
+
+                tab.prn[i] = chan.prn
+                tab.f_carr[i] = chan.f_carr
+                tab.f_code[i] = chan.f_code
+                tab.code_phase0[i] = chan.code_phase
+                tab.carr_phase0[i] = chan.carr_phase
+                tab.ibit0[i] = chan.ibit
+                tab.azel[i] = chan.azel
+
+                phase = chan.carr_phase + chan.f_carr * self._block_T
+                chan.carr_phase = phase - np.trunc(phase)
+            tabs.append(tab)
+
+        # 30 s refresh at the chunk's final epoch (by construction the
+        # only epoch in the chunk that can hit the boundary)
+        grx = gs[-1]
+        if int(grx.sec * 10.0 + 0.5) % 300 == 0:
+            for sv in range(MAX_SAT):
+                self.current_eph[sv] = nav.epoch_match(sv, grx)
+            allocate_channels(
+                bank, nav, grx, xyz[-1], self.current_eph,
+                verbose=self.verbose,
+            )
+
+        self.grx = grx + EPOCH_DT
+        return tabs
 
     def _step(self, iumd: int) -> EpochStateTable:
         nav, bank, grx = self.nav, self.bank, self.grx
@@ -183,26 +369,43 @@ class ScenarioEngine:
         )
 
         sec = secondary_code()
-        for i, chan in enumerate(bank.channels):
-            if chan.prn <= 0:
-                continue
-            sv = chan.prn - 1
-            eph = nav.eph[sv][self.current_eph[sv]]
-            chan.eph_index = self.current_eph[sv]
+        # one vectorized observables call over all active channels
+        # (satpos/light-time/az-el/iono batched over the channel axis)
+        act = [
+            (i, chan) for i, chan in enumerate(bank.channels) if chan.prn > 0
+        ]
+        if act:
+            from .rinex import EphArrays
 
-            rho = compute_range(eph, nav.iono, grx.week, grx.sec, xyz)
-            chan.azel = (float(rho.azel[0]), float(rho.azel[1]))
-            nco = code_phase_state(chan.rho0_range, rho.range, EPOCH_DT, grx.sec)
-            chan.f_carr = float(nco.f_carr)
-            chan.f_code = float(nco.f_code)
-            chan.code_phase = float(nco.code_phase)
-            chan.ibit = int(nco.ibit)
-            chan.ipage = int(nco.ipage)
-            chan.rho0_range = float(rho.range)
+            recs = []
+            for _, chan in act:
+                sv = chan.prn - 1
+                chan.eph_index = self.current_eph[sv]
+                recs.append(nav.eph[sv][self.current_eph[sv]])
+            # the stacked view only changes at channel (re)allocation or
+            # the 30 s ephemeris refresh — cache it
+            key = tuple(id(r) for r in recs)
+            if self._eph_cache[0] == key:
+                eph_arr = self._eph_cache[1]
+            else:
+                eph_arr = EphArrays.from_records(recs)
+                self._eph_cache = (key, eph_arr)
+            rho = compute_range(eph_arr, nav.iono, grx.week, grx.sec, xyz)
+            rho0 = np.array([chan.rho0_range for _, chan in act])
+            nco = code_phase_state(rho0, rho.range, EPOCH_DT, grx.sec)
+
+        for j, (i, chan) in enumerate(act):
+            chan.azel = (float(rho.azel[j, 0]), float(rho.azel[j, 1]))
+            chan.f_carr = float(nco.f_carr[j])
+            chan.f_code = float(nco.f_code[j])
+            chan.code_phase = float(nco.code_phase[j])
+            chan.ibit = int(nco.ibit[j])
+            chan.ipage = int(nco.ipage[j])
+            chan.rho0_range = float(rho.range[j])
 
             # Signal gain (galileo-sdr.cpp:470-477): computed, not applied.
-            path_loss = 20200000.0 / float(rho.d)
-            ibs = int((90.0 - rho.azel[1] * R2D) / 5.0)
+            path_loss = 20200000.0 / float(rho.d[j])
+            ibs = int((90.0 - chan.azel[1] * R2D) / 5.0)
             ant_gain = 10.0 ** (-ANT_PAT_DB[ibs] / 20.0)
             tab.gain[i] = path_loss * ant_gain * 128.0
 

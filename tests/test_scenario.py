@@ -110,3 +110,29 @@ def test_invalid_start_time(nav):
 
     with pytest.raises(ValueError):
         scenario_start_time(nav, GalTime(2196, 0.0))  # before gmin
+
+
+def test_chunked_fast_path_matches_stepwise(nav, g0):
+    """The vectorized chunk path (static/trajectory positions) must match
+    the per-epoch path (used for live positions) across a 30 s
+    reallocation boundary."""
+    from galileo_sdr_sim_tpu.scenario import PositionProvider, ScenarioEngine
+
+    llh = np.array([42.3601, -71.0589, 100.0])
+    fast = ScenarioEngine(nav, PositionProvider(llh_deg=llh), g0, 40.0)
+    slow = ScenarioEngine(
+        nav, PositionProvider(live=lambda: llh), g0, 40.0
+    )  # live provider forces the stepwise path
+    for tf, ts in zip(fast.epochs(), slow.epochs()):
+        assert np.array_equal(tf.prn, ts.prn)
+        np.testing.assert_allclose(tf.f_carr, ts.f_carr, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(tf.f_code, ts.f_code, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(
+            tf.code_phase0, ts.code_phase0, rtol=0, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            tf.carr_phase0, ts.carr_phase0, rtol=0, atol=1e-9
+        )
+        assert np.array_equal(tf.sym_win, ts.sym_win)
+        assert np.array_equal(tf.pilot_win, ts.pilot_win)
+        np.testing.assert_allclose(tf.gain, ts.gain, rtol=1e-6)
