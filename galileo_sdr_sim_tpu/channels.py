@@ -120,9 +120,27 @@ def _page_bits(grx: GalTime, eph, nav: NavData) -> np.ndarray:
     return generate_inav_page(grx, eph, nav.iono)
 
 
-def regenerate_page(chan: Channel, grx: GalTime, nav: NavData) -> None:
-    """Page rollover inside the sample loop (galileo-sdr.cpp:497-506)."""
+def regenerate_page(
+    chan: Channel, grx: GalTime, nav: NavData, bit_source=None
+) -> None:
+    """Page rollover inside the sample loop (galileo-sdr.cpp:497-506).
+
+    With `bit_source` (the live nav-bit relay, UDP 7531 — socket.h:84-150),
+    relayed symbols replace the synthesized page.  The reference fills the
+    per-channel queues but never drains them in its hot loop (SURVEY quirk
+    list); here the advertised "real-time navigation message relay" is
+    completed: up to 500 queued symbols form the new page, any shortfall
+    is back-filled from the ephemeris-synthesized page so the signal stays
+    continuous when the relay under-runs.  Wire symbol +1 -> page bit 1,
+    -1/0 -> page bit 0 (matching socket.h:127-133's 1/0 mapping).
+    """
     sv = chan.prn - 1
     eph = nav.eph[sv][chan.eph_index]
-    chan.page = _page_bits(grx, eph, nav)
+    page = _page_bits(grx, eph, nav)
+    if bit_source is not None:
+        relayed = bit_source.pop_bits(chan.prn, len(page))
+        if relayed:
+            page = page.copy()
+            page[: len(relayed)] = (np.asarray(relayed) == 1).astype(page.dtype)
+    chan.page = page
     chan.ipage += 1

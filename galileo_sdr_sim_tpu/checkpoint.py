@@ -39,6 +39,7 @@ def save_state(engine: ScenarioEngine, path: str | Path) -> None:
         "g0_week": engine.g0.week,
         "g0_sec": engine.g0.sec,
         "numd": engine.numd,
+        "tow_applied": engine._tow_applied,
         "current_eph": engine.current_eph,
         "allocated": {str(k): v for k, v in engine.bank.allocated.items()},
         "channels": [
@@ -96,6 +97,7 @@ def load_state(engine: ScenarioEngine, path: str | Path) -> int:
     engine.grx = GalTime(meta["grx_week"], meta["grx_sec"])
     engine.g0 = GalTime(meta["g0_week"], meta["g0_sec"])
     engine.numd = meta["numd"]
+    engine._tow_applied = bool(meta.get("tow_applied", False))
     engine.current_eph = list(meta["current_eph"])
     engine.bank.allocated = {int(k): v for k, v in meta["allocated"].items()}
     for i, (c, m) in enumerate(zip(engine.bank.channels, meta["channels"])):

@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--apply-gain", action="store_true",
                    help="apply per-channel path-loss/antenna gain to the mix "
                         "(the reference computes but does not apply it)")
+    p.add_argument("--relay-timeout", type=float, default=None, metavar="SEC",
+                   help="in bit-relay mode, fall back to ephemeris-"
+                        "synthesized nav messages if no bits arrive on UDP "
+                        "7531 within SEC seconds (default: wait forever, "
+                        "like the reference, galileo-sdr.cpp:389-416)")
     return p
 
 
@@ -186,8 +191,36 @@ def main(argv=None) -> int:
     if args.umfile:
         position = PositionProvider(trajectory=load_user_motion(args.umfile))
 
+    # Live nav-bit relay (reference default use_bit_stream=true,
+    # structures.h:180; disabled with -b).  Wait for first bits like the
+    # reference (galileo-sdr.cpp:389-416), but interruptibly and with an
+    # optional timeout fallback instead of the reference's hard hang.
+    use_bit_stream = args.disable_bitstream is None
+    bit_source = None
+    if use_bit_stream and servers is not None:
+        import time as _time
+
+        sys.stderr.write("\nWaiting for navigation message bits ")
+        t0 = _time.monotonic()
+        while not servers.state.bit_queues:
+            if (
+                args.relay_timeout is not None
+                and _time.monotonic() - t0 > args.relay_timeout
+            ):
+                sys.stderr.write(
+                    "\nNo bits received - generating nav messages from "
+                    "ephemeris data\n"
+                )
+                break
+            _time.sleep(1.0)
+            sys.stderr.write(".")
+        else:
+            sys.stderr.write("\nBits received - Starting Generator\n")
+        bit_source = servers.state
+
     use_usrp = args.disable_usrp is None
-    engine = ScenarioEngine(nav, position, g0, args.duration, verbose=args.verbose)
+    engine = ScenarioEngine(nav, position, g0, args.duration,
+                            verbose=args.verbose, bit_source=bit_source)
 
     from .io.sinks import FileSink, UsrpSink
     from .io.stream import StreamingSynthesizer

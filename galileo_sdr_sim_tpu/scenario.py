@@ -128,10 +128,16 @@ class ScenarioEngine:
         g0: GalTime,
         duration_s: float,
         verbose: bool = False,
+        bit_source=None,
     ):
         self.nav = nav
         self.position = position
         self.verbose = verbose
+        # live nav-bit relay (io/udp.py LiveState): pages come from UDP
+        # 7531 symbols; a one-shot TOW correction shifts grx on first
+        # reception (galileo-sdr.cpp:606-615, socket.h:140-147)
+        self.bit_source = bit_source
+        self._tow_applied = False
         self.numd = int(duration_s * 10.0 + 0.5)
         self.bank = ChannelBank()
         self.current_eph = [-1] * MAX_SAT
@@ -221,6 +227,7 @@ class ScenarioEngine:
         """Vectorized equivalent of m sequential _step calls: one
         compute_range / code_phase_state evaluation over (epoch, channel),
         with the cheap per-epoch state carried in plain Python."""
+        self._apply_tow_correction()
         nav, bank = self.nav, self.bank
         gs = []
         g = self.grx
@@ -310,7 +317,7 @@ class ScenarioEngine:
                 )
                 cur_page = chan.page
                 if chan.ibit + total_wraps >= N_SYM_PAGE:
-                    regenerate_page(chan, grx, nav)
+                    regenerate_page(chan, grx, nav, self.bit_source)
                 nxt_page = chan.page
 
                 idx = chan.ibit + np.arange(SYM_WIN)
@@ -348,7 +355,19 @@ class ScenarioEngine:
         self.grx = grx + EPOCH_DT
         return tabs
 
+    def _apply_tow_correction(self) -> None:
+        """One-shot grx shift when the bit relay reports its TOW
+        (reference: local_fix/tow_fixed, galileo-sdr.cpp:606-615)."""
+        if (
+            self.bit_source is not None
+            and not self._tow_applied
+            and getattr(self.bit_source, "tow_correction", None) is not None
+        ):
+            self.grx = (self.grx + float(self.bit_source.tow_correction)).normalized()
+            self._tow_applied = True
+
     def _step(self, iumd: int) -> EpochStateTable:
+        self._apply_tow_correction()
         nav, bank, grx = self.nav, self.bank, self.grx
         llh = self.position.llh_deg(iumd).copy()
         llh_rad = np.array([llh[0] / R2D, llh[1] / R2D, llh[2]])
@@ -416,7 +435,7 @@ class ScenarioEngine:
             )
             cur_page = chan.page
             if chan.ibit + total_wraps >= N_SYM_PAGE:
-                regenerate_page(chan, grx, nav)  # new page at rollover
+                regenerate_page(chan, grx, nav, self.bit_source)  # new page at rollover
             nxt_page = chan.page  # same as cur_page when no rollover
 
             idx = chan.ibit + np.arange(SYM_WIN)

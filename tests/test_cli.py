@@ -60,6 +60,61 @@ def test_user_motion_llh(tmp_path):
     assert traj[0, 0] == 42.0
 
 
+def test_cli_relay_timeout_fallback(tmp_path):
+    """Default bit-relay mode (no -b) must not hang forever when no bits
+    arrive and --relay-timeout is given: it falls back to ephemeris nav
+    messages and still produces the file."""
+    from galileo_sdr_sim_tpu.cli import main
+
+    out = tmp_path / "relay.ishort"
+    rc = main([
+        "-e", "/root/reference/rinex_files/20feb2022.rnx",
+        "-t", "2022/02/20,08:00:01", "-d", "0.5", "-U", "1",
+        "-o", str(out), "--relay-timeout", "0.2", "--block-epochs", "2",
+    ])
+    assert rc == 0
+    data = np.fromfile(out, dtype=np.int16)
+    assert data.size == 4 * 260000 * 2  # numd-1 epochs of interleaved I/Q
+    assert np.any(data != 0)
+
+
+def test_cli_relay_bits_received(tmp_path):
+    """With a live sender on UDP 7531 the CLI proceeds past the wait loop
+    (reference: galileo-sdr.cpp:389-416) and completes."""
+    import socket
+    import struct
+    import threading
+
+    from galileo_sdr_sim_tpu.cli import main
+    from galileo_sdr_sim_tpu.io.udp import INCOMING_SIZE
+
+    stop = threading.Event()
+
+    def sender():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        vals = [11.0] + [0.0] * (INCOMING_SIZE - 2) + [0.0]
+        pkt = struct.pack(f"<{INCOMING_SIZE}d", *vals)
+        while not stop.is_set():
+            tx.sendto(pkt, ("127.0.0.1", 7531))
+            stop.wait(0.1)
+        tx.close()
+
+    th = threading.Thread(target=sender, daemon=True)
+    th.start()
+    try:
+        out = tmp_path / "relay2.ishort"
+        rc = main([
+            "-e", "/root/reference/rinex_files/20feb2022.rnx",
+            "-t", "2022/02/20,08:00:01", "-d", "0.4", "-U", "1",
+            "-o", str(out), "--relay-timeout", "30", "--block-epochs", "2",
+        ])
+        assert rc == 0
+        assert out.stat().st_size > 0
+    finally:
+        stop.set()
+        th.join()
+
+
 def test_user_motion_ecef(tmp_path):
     from galileo_sdr_sim_tpu.geodesy import llh2xyz
 
