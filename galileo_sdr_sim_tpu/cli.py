@@ -151,6 +151,13 @@ def _status_printer(engine: ScenarioEngine, g0: GalTime):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # multi-host launch: set GALILEO_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
+    # on every host and run the same command line; file-sink output is
+    # offset-written cooperatively (parallel/distributed.py)
+    from .parallel.distributed import maybe_initialize_from_env
+
+    is_distributed = maybe_initialize_from_env()
+
     if not args.navfile and not args.tvfile:
         print("ERROR: Galileo ephemeris/nav_msg file is not specified.")
         return 1
@@ -221,6 +228,26 @@ def main(argv=None) -> int:
     use_usrp = args.disable_usrp is None
     engine = ScenarioEngine(nav, position, g0, args.duration,
                             verbose=args.verbose, bit_source=bit_source)
+
+    if is_distributed:
+        import time as _time
+
+        from .parallel.distributed import generate_file_distributed
+
+        if use_usrp:
+            print("ERROR: distributed mode supports the file sink only (-U 1).")
+            return 1
+        t0 = _time.monotonic()
+        n = generate_file_distributed(
+            engine, args.outfile, block_epochs=args.block_epochs or 8
+        )
+        wall = _time.monotonic() - t0
+        if servers:
+            servers.stop()
+        sys.stderr.write(
+            f"\nDone! {n} epochs written cooperatively in {wall:.1f} s\n"
+        )
+        return 0
 
     from .io.sinks import FileSink, UsrpSink
     from .io.stream import StreamingSynthesizer
