@@ -81,6 +81,7 @@ class MonitoringClient:
             self.tx.sendto(payload, self.relay_addr)
             if self.record:
                 self.record.write(payload)
+                self.record.flush()
             self.old_tow = new_tow
         return True
 
