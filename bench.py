@@ -45,7 +45,7 @@ def main() -> None:
     rinex = "/root/reference/rinex_files/20feb2022.rnx"
     nav = read_rinex_v3(rinex)
     g0 = scenario_start_time(nav, date2gal(DateTime(2022, 2, 20, 8, 0, 1)))
-    B = 32
+    B = 64  # epochs per device call (6.4 s of signal; see docs/kernel_design.md)
     eng = ScenarioEngine(
         nav,
         PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),

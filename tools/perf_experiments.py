@@ -72,6 +72,21 @@ def exp_bscale():
         print(f"B={B:3d}: {sps/1e6:9.1f} Msps ({sps/2.6e6:7.1f}x)")
 
 
+def exp_pallas_bscale():
+    from galileo_sdr_sim_tpu.ops.synth_kp_pallas import synth_accum_kp_pallas
+
+    for B in (32, 64, 96, 128):
+        batch = get_batch(min(B, 32))
+        inputs = prepare_kp_inputs(
+            batch, NUM_IQ_SAMPLES, pad_epochs=B, pack_g=True
+        )
+        sps = timeit_chained(
+            lambda inp: synth_accum_kp_pallas(inp, n_k=K_EPOCH),
+            inputs, B, NUM_IQ_SAMPLES,
+        )
+        print(f"B={B:3d}: {sps/1e6:9.1f} Msps ({sps/2.6e6:7.1f}x)", flush=True)
+
+
 if __name__ == "__main__":
     exps = sys.argv[1:] or ["bscale"]
     for e in exps:
