@@ -83,7 +83,7 @@ def _pack_codes(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
 
 
 def _pack_codes_g(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
-    """(C, 8184) x2 int8 -> (C, 8184, 32) float32 direct-G row table.
+    """(C, 8184) x2 int8 -> (C, 8184, 32) int8 direct-G row table.
 
     vpack_g[c, G, code*16 + shift*8 + rho]
         = code_flat[c, (1023*rho + G + shift) % 8184]
@@ -95,7 +95,10 @@ def _pack_codes_g(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
     Used by the fused Pallas engine (ops/synth_kp_pallas.py).
     """
     C = codes_b.shape[0]
-    out = np.zeros((C, ROWS * COLS, W_PACK), np.float32)
+    # int8: the gather pulls and the (p, 32) -> (2, 2, 8, p) plane
+    # transpose then run on 1/4 the bytes; values are +-1 so the f32
+    # convert at the kernel boundary is exact
+    out = np.zeros((C, ROWS * COLS, W_PACK), np.int8)
     for ci, flat in enumerate((codes_b, codes_c)):
         for shift in range(2):
             for r in range(ROWS):
