@@ -1,0 +1,142 @@
+"""Receiver-side I/NAV decoding: deinterleave, Viterbi, CRC, page parse.
+
+The reference delegates this stage to GNSS-SDR's telemetry decoder
+(SURVEY §4: the receiver-in-the-loop is the real test; reference
+gnss-sdr_Galileo_E1_ishort.conf:67-69).  Providing the decoder in-repo
+lets the acceptance chain — acquire, track, decode, CRC — run in CI with
+no external receiver, and gives users a message-level probe for any
+emitted stream.
+
+Inverse of the transmit chain in inav.py (reference inav-msg.cpp):
+250-symbol half page = 10-symbol sync + 8x30 block-interleaved K=7
+rate-1/2 convolutional code with inverted G2 (ICD fig. 13).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codes import sync_pattern
+from .inav import G1_TAPS, G2_TAPS, crc24q
+
+N_STATES = 64  # K=7 -> 2^(K-1)
+
+
+def deinterleave(symbols: np.ndarray) -> np.ndarray:
+    """Inverse of inav.interleave: 240 symbols row-read -> column-write
+    (reference inav-msg.cpp:11-19)."""
+    return np.asarray(symbols, dtype=np.uint8).reshape(8, 30).T.reshape(-1)
+
+
+def _output_tables() -> tuple[np.ndarray, np.ndarray]:
+    """g1/g2 output bit for (state, input): state = last 6 inputs,
+    state bit 0 = most recent."""
+    states = np.arange(N_STATES)
+    hist = ((states[:, None] >> np.arange(6)) & 1).astype(np.uint8)  # (64, 6)
+    g1 = np.empty((N_STATES, 2), np.uint8)
+    g2 = np.empty((N_STATES, 2), np.uint8)
+    for b in (0, 1):
+        win = np.concatenate(
+            [np.full((N_STATES, 1), b, np.uint8), hist], axis=1
+        )  # taps j multiply u[t-j]
+        g1[:, b] = (win @ G1_TAPS) & 1
+        g2[:, b] = (win @ G2_TAPS) & 1
+    return g1, g2
+
+
+_G1_OUT, _G2_OUT = _output_tables()
+
+
+def viterbi_decode(symbols: np.ndarray, n_bits: int) -> np.ndarray:
+    """Hard-decision Viterbi for the K=7 rate-1/2 code with inverted G2.
+
+    symbols: (2*n_bits,) {0,1} as transmitted (G2 branch already
+    inverted on air, inav.conv_encode); returns (n_bits,) decoded bits.
+    Assumes zero initial state and zero tail (the 120-bit half pages end
+    in six zero bits).
+
+    State encoding: bit j of the state is input u[t-j] (bit 0 newest),
+    so the transition on input b is ns = ((s << 1) | b) & 63 and the
+    newest input is recoverable as ns & 1 during traceback.
+    """
+    sym = np.asarray(symbols, dtype=np.uint8).reshape(-1, 2)
+    n = sym.shape[0]
+    assert n == n_bits, (n, n_bits)
+    INF = 1 << 30
+    metric = np.full(N_STATES, INF, np.int64)
+    metric[0] = 0
+    prev_state = np.zeros((n, N_STATES), np.int32)
+
+    ns = np.arange(N_STATES)
+    b = (ns & 1).astype(np.uint8)  # input implied by the next state
+    s0 = ns >> 1  # the two predecessors of ns
+    s1 = s0 | 32
+    for t in range(n):
+        r1, r2 = int(sym[t, 0]), int(sym[t, 1])
+        cost0 = (
+            (_G1_OUT[s0, b] ^ r1).astype(np.int64)
+            + ((1 - _G2_OUT[s0, b]) ^ r2).astype(np.int64)
+        )
+        cost1 = (
+            (_G1_OUT[s1, b] ^ r1).astype(np.int64)
+            + ((1 - _G2_OUT[s1, b]) ^ r2).astype(np.int64)
+        )
+        cand0 = metric[s0] + cost0
+        cand1 = metric[s1] + cost1
+        take1 = cand1 < cand0
+        prev_state[t] = np.where(take1, s1, s0)
+        metric = np.where(take1, cand1, cand0)
+
+    # traceback from the zero state (tail-terminated)
+    bits = np.zeros(n, np.uint8)
+    s = 0
+    for t in range(n - 1, -1, -1):
+        bits[t] = s & 1
+        s = int(prev_state[t, s])
+    return bits
+
+
+@dataclass
+class DecodedPage:
+    even: np.ndarray  # (120,) bits
+    odd: np.ndarray  # (120,) bits
+    page: np.ndarray  # (228,) concatenated content bits
+    word_type: int
+    crc_ok: bool
+    ssp: int
+
+
+def decode_half_page(symbols_250: np.ndarray) -> np.ndarray:
+    """250 on-air symbols -> 120 decoded bits (sync verified)."""
+    s = np.asarray(symbols_250, dtype=np.uint8)
+    if not np.array_equal(s[:10], sync_pattern()):
+        raise ValueError("sync pattern mismatch")
+    return viterbi_decode(deinterleave(s[10:]), 120)
+
+
+def decode_page_pair(symbols_500: np.ndarray) -> DecodedPage:
+    """One 2 s page pair of on-air symbols -> content bits + CRC verdict
+    (inverse of inav.generate_inav_page)."""
+    even = decode_half_page(symbols_500[:250])
+    odd = decode_half_page(symbols_500[250:])
+    page = np.concatenate([even[:114], odd[:114]])
+    crc_bits = page[196:220]
+    claimed = 0
+    for b in crc_bits:
+        claimed = (claimed << 1) | int(b)
+    ssp = 0
+    for b in page[220:228]:
+        ssp = (ssp << 1) | int(b)
+    wt = 0
+    for b in page[0:8]:
+        wt = (wt << 1) | int(b)
+    return DecodedPage(
+        even=even,
+        odd=odd,
+        page=page,
+        word_type=wt,
+        crc_ok=crc24q(page[:196]) == claimed,
+        ssp=ssp,
+    )
