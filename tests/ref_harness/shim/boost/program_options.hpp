@@ -1,0 +1,1 @@
+#pragma once  // boost shim: unused by the I/NAV encoder harness
