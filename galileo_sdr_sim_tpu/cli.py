@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "synthesized nav messages if no bits arrive on UDP "
                         "7531 within SEC seconds (default: wait forever, "
                         "like the reference, galileo-sdr.cpp:389-416)")
+    p.add_argument("--native-fifo", action="store_true",
+                   help="route the file sink through the native C++ ring "
+                        "buffer + consumer thread (always on for USRP "
+                        "output, mirroring the reference's FIFO + tx_task)")
     return p
 
 
@@ -253,7 +257,18 @@ def main(argv=None) -> int:
     from .io.stream import StreamingSynthesizer
 
     if use_usrp:
-        sink = UsrpSink(gain=args.gain, device_args=args.device_args)
+        # Real-time path: device drain -> native C++ ring (0.2 s deep,
+        # reference FIFO_LENGTH) -> consumer thread -> UHD, the same
+        # producer/consumer split as the reference's galileo_task/tx_task.
+        from .io.native_fifo import ThreadedRingSink
+
+        sink = ThreadedRingSink(
+            UsrpSink(gain=args.gain, device_args=args.device_args)
+        )
+    elif args.native_fifo:
+        from .io.native_fifo import NativeFifoSink
+
+        sink = NativeFifoSink(args.outfile)
     else:
         sink = FileSink(args.outfile)
 

@@ -117,6 +117,10 @@ class IqRing:
     def consumed(self) -> int:
         return self._lib.iqring_consumed(self._ptr)
 
+    def close_write(self) -> None:
+        """Signal EOF to readers without destroying the ring."""
+        self._lib.iqring_close(self._ptr)
+
     def close(self) -> None:
         if self._ptr:
             self._lib.iqring_stop(self._ptr)
@@ -136,3 +140,44 @@ class NativeFifoSink(Sink):
 
     def close(self) -> None:
         self.ring.close()
+
+
+class ThreadedRingSink(Sink):
+    """Native ring + Python consumer thread draining into any Sink.
+
+    The real-time transport for consumers that live in Python (UsrpSink):
+    the producer (device drain) writes bursts into the C++ ring with
+    reference-style backpressure, while a dedicated thread feeds the
+    inner sink in steady SAMPLES_PER_BUFFER chunks — the exact
+    producer/consumer split of the reference (galileo_task writes the
+    FIFO, tx_task drains 32768-sample buffers into uhd send,
+    src/main.cpp:55-127, src/fifo.cpp).
+    """
+
+    def __init__(
+        self,
+        inner: Sink,
+        capacity_samples: int = FIFO_LENGTH,
+        chunk_samples: int = SAMPLES_PER_BUFFER,
+    ):
+        self.inner = inner
+        self.ring = IqRing(capacity_samples)
+        self._chunk = chunk_samples
+        self._thread = threading.Thread(target=self._consume, daemon=True)
+        self._thread.start()
+
+    def _consume(self) -> None:
+        while True:
+            buf = self.ring.read(self._chunk)  # blocks; b'' only at EOF
+            if buf.size == 0:
+                break
+            self.inner.write(buf)
+
+    def write(self, iq: np.ndarray) -> None:
+        self.ring.write(iq)  # blocks when the inner sink falls behind
+
+    def close(self) -> None:
+        self.ring.close_write()  # EOF: consumer drains, then exits
+        self._thread.join()
+        self.ring.close()
+        self.inner.close()
