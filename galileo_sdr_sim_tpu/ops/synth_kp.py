@@ -108,6 +108,55 @@ def _pack_codes_g(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
     return out
 
 
+WIN = 1024  # contiguous window rows sliced per (epoch, channel): S(p) <= 1022
+J_TAPS = 4  # staircase residual e(p) = D(p) - S(p) in {-1, 0, 1, 2}
+W_GT = J_TAPS * W_PACK  # 128 lanes: j*32 + code*16 + shift*8 + rho
+NCOL_GT = ROWS * COLS + WIN  # columns cover start + S(p) without wrap
+
+
+def _pack_codes_gt(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
+    """(C, 8184) x2 int8 -> (C, 128, 9208) int8 transposed window table.
+
+    vpack_gt[c, j*32 + code*16 + shift*8 + rho, G]
+        = code_flat[c, (1023*rho + G + (j-1) + shift) % 8184]
+
+    Within one epoch-channel the flat half-chip base gbm(p) sweeps a
+    single contiguous window of <= 1023 consecutive rows of the direct-G
+    table (the (K, p) factorization pins exactly one code period per K
+    row — the row walk over K is carried by rho in the lanes).  So the
+    per-(epoch, channel, p) row gather of vpack_g collapses to ONE
+    contiguous 128 x 1024 column slice at start = gbm(p=0), followed by
+    a CONSTANT staircase resample p -> S(p) = floor(1023*p/1300) (an MXU
+    matmul against a fixed one-hot matrix) and a 4-way select over the
+    j lane groups by the residual e(p) = gbm(p) - start - S(p) in
+    {-1, 0, 1, 2}.  All values are +-1 / one-tap sums, so the result is
+    bit-identical to the gather it replaces.
+
+    Columns extend past 8184 so start + S(p) never wraps; G is stored
+    along lanes (last dim) so the slice is contiguous and the matmul
+    contracts over it without any transpose.
+    """
+    C = codes_b.shape[0]
+    out = np.zeros((C, W_GT, NCOL_GT), np.int8)
+    g = np.arange(NCOL_GT)
+    for j in range(J_TAPS):
+        for ci, flat in enumerate((codes_b, codes_c)):
+            for shift in range(2):
+                for r in range(ROWS):
+                    src = (COLS * r + g + (j - 1) + shift) % (ROWS * COLS)
+                    out[:, j * W_PACK + ci * 16 + shift * 8 + r, :] = flat[:, src]
+    return out
+
+
+def _staircase_matrix() -> np.ndarray:
+    """Constant (1024, 1300) one-hot resample: E[S(p), p] = 1 with
+    S(p) = floor(1023*p/1300).  bfloat16 is exact (single-tap sums)."""
+    s = (COLS * np.arange(P_GRID)) // P_GRID
+    e = np.zeros((WIN, P_GRID), np.float32)
+    e[s, np.arange(P_GRID)] = 1.0
+    return e
+
+
 def compact_channels(batch: EpochBatch, multiple: int = 8) -> EpochBatch:
     """Drop idle channel slots, keeping a channel count that is a multiple
     of `multiple` (sublane-friendly).  The channel sum is unchanged —
@@ -169,15 +218,15 @@ def prepare_kp_inputs(
     key = (batch.prn.tobytes(), pack_g)
     if code_cache is not None and code_cache.get("key") == key:
         vpack = code_cache["vpack"]
-        vpack_g = code_cache.get("vpack_g")
+        vpack_gt = code_cache.get("vpack_gt")
     else:
         vpack = jnp.asarray(_pack_codes(batch.codes_b, batch.codes_c))
-        vpack_g = (
-            jnp.asarray(_pack_codes_g(batch.codes_b, batch.codes_c))
+        vpack_gt = (
+            jnp.asarray(_pack_codes_gt(batch.codes_b, batch.codes_c))
             if pack_g else None
         )
         if code_cache is not None:
-            code_cache.update(key=key, vpack=vpack, vpack_g=vpack_g)
+            code_cache.update(key=key, vpack=vpack, vpack_gt=vpack_gt)
 
     sym_f = batch.sym_win.astype(np.float32)
     pil_f = batch.pilot_win.astype(np.float32)
@@ -200,7 +249,7 @@ def prepare_kp_inputs(
         vpack=vpack,  # (C, 1023, 32) f32
     )
     if pack_g:
-        out["vpack_g"] = vpack_g  # (C, 8184, 32) f32
+        out["vpack_gt"] = vpack_gt  # (C, 128, 9208) int8
     return out
 
 

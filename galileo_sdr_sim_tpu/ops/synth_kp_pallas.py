@@ -48,10 +48,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import LUT_AMPLITUDE
-from .synth_kp import COLS, P_GRID, ROWS
+from .synth_kp import (
+    COLS, J_TAPS, P_GRID, ROWS, W_GT, W_PACK, WIN, _staircase_matrix,
+)
 
 P_PAD = 1408  # 11 x 128 lanes (p axis padded from 1300)
 _TWO_PI = 2.0 * np.pi
+_S_CONST = ((COLS * np.arange(P_GRID)) // P_GRID).astype(np.float32)
 
 
 def _pad_p(x: jax.Array) -> jax.Array:
@@ -59,8 +62,60 @@ def _pad_p(x: jax.Array) -> jax.Array:
     return jnp.pad(x, pad)
 
 
+def chip_planes_windowed(inputs: dict, gb: jax.Array) -> tuple:
+    """Chip planes via window-slice + constant staircase matmul + select.
+
+    Per (epoch, channel) the flat half-chip base gbm(p) covers ONE
+    contiguous window of <= 1024 consecutive rows of the direct-G code
+    table (synth_kp._pack_codes_gt), because the (K, p) factorization
+    confines each p-grid pass to a single code period.  So instead of
+    665k serialized 32-wide row-pulls per B=64 batch (the dominant
+    per-call cost of round 1, docs/kernel_design.md), we do:
+
+      1. one contiguous (128, 1024) dynamic slice per (b, c) —
+         bandwidth-bound, ~17 MB per batch;
+      2. a CONSTANT one-hot staircase matmul resampling window rows to
+         the sample grid, S(p) = floor(1023*p/1300) — MXU, bf16-exact
+         (single-tap sums of +-1 values);
+      3. a 4-way select over j lane groups by the integer residual
+         e(p) = gbm(p) - gbm(0) - S(p) in {-1, 0, 1, 2} (the residual
+         of the real code-Doppler slope vs the nominal staircase).
+
+    Bit-identical to the row gather it replaces (all arithmetic is
+    exact on +-1 / {0,1} values); proven in tests/test_synth_kp_pallas.py.
+    Replaces the per-sample chip fetch of src/galileo-sdr.cpp:512-515.
+    """
+    table = inputs["vpack_gt"]  # (C, 128, 9208) int8
+    g0 = gb[:, :, 0]  # (B, C) integer-valued f32
+    start = jnp.mod(g0, float(ROWS * COLS)).astype(jnp.int32)
+    win = jax.vmap(  # over B
+        lambda srow: jax.vmap(
+            lambda tab_c, s: jax.lax.dynamic_slice(tab_c, (0, s), (W_GT, WIN))
+        )(table, srow)
+    )(start)  # (B, C, 128, WIN) int8
+
+    # bf16 halves the MXU-result traffic and is exact here (every output
+    # is a single +-1 tap); CPU backends lack native bf16, so use f32
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    emat = jnp.asarray(_staircase_matrix(), dt)  # (WIN, p)
+    m = jnp.einsum(
+        "bclr,rp->bclp", win.astype(dt), emat, preferred_element_type=dt,
+    )  # (B, C, 128, p) in {-1, +1}
+
+    e = (gb - g0[..., None]) - _S_CONST  # (B, C, p) in {-1, 0, 1, 2}
+    sel = jnp.zeros_like(m[:, :, :W_PACK, :])
+    for j in range(J_TAPS):
+        mask = (e == float(j - 1)).astype(dt)[:, :, None, :]
+        sel = sel + mask * m[:, :, j * W_PACK : (j + 1) * W_PACK, :]
+    sel = sel.astype(jnp.float32)
+    # lane order within the 32: code*16 + shift*8 + rho
+    a0b, a1b = sel[:, :, 0:8], sel[:, :, 8:16]  # (B, C, 8, p)
+    a0c, a1c = sel[:, :, 16:24], sel[:, :, 24:32]
+    return a0b, a1b, a0c, a1c
+
+
 def prepare_pallas_operands(inputs: dict, n_k: int) -> dict:
-    """XLA-side prep: geometry, gather, row alignment, plane diffs.
+    """XLA-side prep: geometry, windowed chip planes, plane diffs.
 
     Everything here is at most (B, C, 8, p)-rank — ~1/25 of the
     full-rank chain — and feeds the fused kernel.  Identical math to
@@ -78,16 +133,7 @@ def prepare_pallas_operands(inputs: dict, n_k: int) -> dict:
     psi = phi - gb
     gbm = jnp.mod(gb, float(ROWS * COLS))
 
-    # chip planes: ONE 32-wide row-pull per (b, c, p) from the direct-G
-    # table (synth_kp._pack_codes_g) — rows arrive already aligned, no
-    # one-hot alignment einsum needed.
-    idx = gbm.astype(jnp.int32)
-    pulled = jax.vmap(
-        lambda ib: jax.vmap(lambda tab, ic: tab[ic])(inputs["vpack_g"], ib)
-    )(idx)  # (B, C, p, 32)
-    A = pulled.reshape(B, C, P_GRID, 2, 2, ROWS).transpose(0, 1, 3, 4, 5, 2)
-    a0b, a1b = A[:, :, 0, 0], A[:, :, 0, 1]  # (B, C, 8, p)
-    a0c, a1c = A[:, :, 1, 0], A[:, :, 1, 1]
+    a0b, a1b, a0c, a1c = chip_planes_windowed(inputs, gb)
 
     # code-period carry: rho + q0 >= 8  <=>  gbm >= 1023 * (8 - rho)
     thr = (float(COLS) * (float(ROWS) - rho))[None, None, :, None]
@@ -178,9 +224,9 @@ def synth_accum_kp_pallas(
 ) -> jax.Array:
     """Drop-in replacement for synth_kp.synth_accum_kp: (B, n_k*1300, 2)
     float32 channel-summed accumulator, fused on the VPU."""
-    if "vpack_g" not in inputs:
+    if "vpack_gt" not in inputs:
         raise ValueError(
-            "the Pallas engine needs the direct-G code table: call "
+            "the Pallas engine needs the windowed code table: call "
             "prepare_kp_inputs(..., pack_g=True)"
         )
     ops = prepare_pallas_operands(inputs, n_k)
