@@ -95,21 +95,23 @@ def chip_planes_windowed(inputs: dict, gb: jax.Array) -> tuple:
     )(start)  # (B, C, 128, WIN) int8
 
     # bf16 halves the MXU-result traffic and is exact here (every output
-    # is a single +-1 tap); CPU backends lack native bf16, so use f32
+    # is a single +-1 tap); CPU backends lack native bf16, so use f32.
+    # The staircase matrix is zero-padded to P_PAD columns so the planes
+    # come out kernel-ready (no separate pad copies).
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    emat = jnp.asarray(_staircase_matrix(), dt)  # (WIN, p)
+    emat = jnp.asarray(_pad_p(jnp.asarray(_staircase_matrix(), dt)))
     m = jnp.einsum(
         "bclr,rp->bclp", win.astype(dt), emat, preferred_element_type=dt,
-    )  # (B, C, 128, p) in {-1, +1}
+    )  # (B, C, 128, P_PAD) in {-1, +1} (0 in the pad columns)
 
-    e = (gb - g0[..., None]) - _S_CONST  # (B, C, p) in {-1, 0, 1, 2}
+    e = _pad_p((gb - g0[..., None]) - _S_CONST)  # {-1..2}; 0 in the pad
     sel = jnp.zeros_like(m[:, :, :W_PACK, :])
     for j in range(J_TAPS):
         mask = (e == float(j - 1)).astype(dt)[:, :, None, :]
         sel = sel + mask * m[:, :, j * W_PACK : (j + 1) * W_PACK, :]
     sel = sel.astype(jnp.float32)
     # lane order within the 32: code*16 + shift*8 + rho
-    a0b, a1b = sel[:, :, 0:8], sel[:, :, 8:16]  # (B, C, 8, p)
+    a0b, a1b = sel[:, :, 0:8], sel[:, :, 8:16]  # (B, C, 8, P_PAD)
     a0c, a1c = sel[:, :, 16:24], sel[:, :, 24:32]
     return a0b, a1b, a0c, a1c
 
@@ -133,12 +135,15 @@ def prepare_pallas_operands(inputs: dict, n_k: int) -> dict:
     psi = phi - gb
     gbm = jnp.mod(gb, float(ROWS * COLS))
 
-    a0b, a1b, a0c, a1c = chip_planes_windowed(inputs, gb)
+    a0b, a1b, a0c, a1c = chip_planes_windowed(inputs, gb)  # (B, C, 8, P_PAD)
 
-    # code-period carry: rho + q0 >= 8  <=>  gbm >= 1023 * (8 - rho)
+    # code-period carry: rho + q0 >= 8  <=>  gbm >= 1023 * (8 - rho).
+    # Built from pre-padded gbm so the (B, C, 8, p) planes never need a
+    # separate pad copy (pad region: gbm = 0 < thr -> b0 = b1 = 0).
+    gbm_p = _pad_p(gbm)
     thr = (float(COLS) * (float(ROWS) - rho))[None, None, :, None]
-    b0 = (gbm[:, :, None, :] >= thr).astype(jnp.float32)
-    b1 = (gbm[:, :, None, :] + 1.0 >= thr).astype(jnp.float32)
+    b0 = (gbm_p[:, :, None, :] >= thr).astype(jnp.float32)
+    b1 = (gbm_p[:, :, None, :] + 1.0 >= thr).astype(jnp.float32)
     w8 = (gb >= float(ROWS * COLS)).astype(jnp.float32)  # (B, C, p)
 
     ph_p = inputs["carr0"][..., None] + inputs["fc"][..., None] * p
@@ -148,9 +153,9 @@ def prepare_pallas_operands(inputs: dict, n_k: int) -> dict:
     cpi = jnp.sin(ang_p)
 
     return dict(
-        a0b=_pad_p(a0b), dab=_pad_p(a1b - a0b),
-        a0c=_pad_p(a0c), dac=_pad_p(a1c - a0c),
-        b0=_pad_p(b0), db=_pad_p(b1 - b0),
+        a0b=a0b, dab=a1b - a0b,
+        a0c=a0c, dac=a1c - a0c,
+        b0=b0, db=b1 - b0,
         psi=_pad_p(psi), w8=_pad_p(w8),
         cpr=_pad_p(cpr), cpi=_pad_p(cpi),
         mu=inputs["mu"], fc_k=inputs["fc_k"],
