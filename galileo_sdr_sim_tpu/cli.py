@@ -152,8 +152,39 @@ def _status_printer(engine: ScenarioEngine, g0: GalTime):
     return cb
 
 
+# short options that take a value and may legitimately receive one
+# starting with '-' (negative latitude/longitude): getopt accepts
+# "-l -6,51,100" (the README's canonical example, README.md:49-60) but
+# argparse would parse "-6,51,100" as an option — glue the pair together
+# into argparse's attached short-option form.
+_VALUE_OPTS = {"-l", "-t", "-T", "-d", "-G"}
+
+
+def _glue_negative_values(argv: list[str]) -> list[str]:
+    out, i = [], 0
+    while i < len(argv):
+        tok = argv[i]
+        if (
+            tok in _VALUE_OPTS
+            and i + 1 < len(argv)
+            and argv[i + 1][:1] == "-"
+            and len(argv[i + 1]) > 1
+            and argv[i + 1][1].isdigit()
+        ):
+            out.append(tok + argv[i + 1])
+            i += 2
+        else:
+            out.append(tok)
+            i += 1
+    return out
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    if argv is None:
+        import sys as _sys
+
+        argv = _sys.argv[1:]
+    args = build_parser().parse_args(_glue_negative_values(list(argv)))
 
     # multi-host launch: set GALILEO_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
     # on every host and run the same command line; file-sink output is

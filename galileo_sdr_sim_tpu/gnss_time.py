@@ -29,9 +29,14 @@ class GalTime:
     sec: float
 
     def __add__(self, dt: float) -> "GalTime":
-        # Mirrors incGalTime (gnss-time.cpp:88-92): seconds accumulate
-        # without rolling into the week.
-        return GalTime(self.week, self.sec + dt)
+        # Deviation from incGalTime (gnss-time.cpp:88-92), which never
+        # rolls seconds into the week — the reference's week-rollover
+        # handling is commented out (inav-msg.cpp:181-183), so its TOW
+        # exceeds 604799 and WN goes stale after a Saturday-night
+        # boundary.  We roll correctly per the ICD (TOW in [0, 604800),
+        # WN increments); pinned by
+        # tests/test_baseline_configs.py::test_config5_week_rollover_mid_run.
+        return GalTime(self.week, self.sec + dt).normalized()
 
     def __sub__(self, other: "GalTime") -> float:
         return (self.sec - other.sec) + (self.week - other.week) * SECONDS_IN_WEEK

@@ -33,7 +33,7 @@ import numpy as np
 
 from . import geodesy
 from .channels import ChannelBank, allocate_channels, regenerate_page
-from .codes import boc_chips, secondary_code
+from .models.e1 import E1_OS, E1SignalModel
 from .constants import (
     CA_SEQ_LEN_E1,
     EPOCH_DT,
@@ -129,10 +129,14 @@ class ScenarioEngine:
         duration_s: float,
         verbose: bool = False,
         bit_source=None,
+        model: E1SignalModel = E1_OS,
     ):
         self.nav = nav
         self.position = position
         self.verbose = verbose
+        # the signal model supplies code banks, the pilot secondary code,
+        # and framing constants — the seam where E5a/E6 models plug in
+        self.model = model
         # live nav-bit relay (io/udp.py LiveState): pages come from UDP
         # 7531 symbols; a one-shot TOW correction shifts grx on first
         # reception (galileo-sdr.cpp:606-615, socket.h:140-147)
@@ -281,7 +285,7 @@ class ScenarioEngine:
                 path_loss * 10.0 ** (-ANT_PAT_DB[ibs] / 20.0) * 128.0
             ).astype(np.float32)
 
-        sec = secondary_code()
+        sec = self.model.secondary_code
         tabs: list[EpochStateTable] = []
         for e in range(m):
             grx = gs[e]
@@ -387,7 +391,7 @@ class ScenarioEngine:
             azel=np.zeros((MAX_CHAN, 2)),
         )
 
-        sec = secondary_code()
+        sec = self.model.secondary_code
         # one vectorized observables call over all active channels
         # (satpos/light-time/az-el/iono batched over the channel axis)
         act = [
@@ -486,15 +490,15 @@ class ScenarioEngine:
         if pending:
             yield self._pack(pending)
 
-    @staticmethod
-    def _pack(tabs: list[EpochStateTable]) -> EpochBatch:
+    def _pack(self, tabs: list[EpochStateTable]) -> EpochBatch:
         prn = tabs[0].prn
-        cb = np.zeros((MAX_CHAN, 2 * CA_SEQ_LEN_E1), np.int8)
-        cc = np.zeros((MAX_CHAN, 2 * CA_SEQ_LEN_E1), np.int8)
+        boc_len = self.model.boc_length
+        cb = np.zeros((MAX_CHAN, boc_len), np.int8)
+        cc = np.zeros((MAX_CHAN, boc_len), np.int8)
         active = prn > 0
         if np.any(active):
-            cb[active] = boc_chips("E1B")[prn[active] - 1]
-            cc[active] = boc_chips("E1C")[prn[active] - 1]
+            cb[active] = self.model.data_codes[prn[active] - 1]
+            cc[active] = self.model.pilot_codes[prn[active] - 1]
         return EpochBatch(
             grx_sec=np.array([t.grx_sec for t in tabs]),
             prn=prn.copy(),

@@ -136,3 +136,32 @@ def test_chunked_fast_path_matches_stepwise(nav, g0):
         assert np.array_equal(tf.sym_win, ts.sym_win)
         assert np.array_equal(tf.pilot_win, ts.pilot_win)
         np.testing.assert_allclose(tf.gain, ts.gain, rtol=1e-6)
+
+
+def test_signal_model_is_the_code_seam(nav, g0):
+    """ScenarioEngine consumes code banks / secondary code through its
+    E1SignalModel (models/e1.py) — the seam where sibling signal models
+    (E5a/E6) plug in.  A model with substituted banks must propagate to
+    the emitted batches."""
+    import dataclasses
+
+    from galileo_sdr_sim_tpu.models.e1 import E1_OS, E1SignalModel
+    from galileo_sdr_sim_tpu.scenario import PositionProvider, ScenarioEngine
+
+    class Flipped(E1SignalModel):
+        @property
+        def data_codes(self):
+            return -E1_OS.data_codes
+
+    llh = np.array([42.3601, -71.0589, 100.0])
+    eng = ScenarioEngine(
+        nav, PositionProvider(llh_deg=llh), g0, 1.0, model=Flipped()
+    )
+    ref = ScenarioEngine(nav, PositionProvider(llh_deg=llh), g0, 1.0)
+    b = next(eng.batches(4))
+    r = next(ref.batches(4))
+    active = b.prn > 0
+    assert np.array_equal(b.codes_b[active], -r.codes_b[active])
+    assert np.array_equal(b.codes_c[active], r.codes_c[active])
+    # default engine pulls the E1 OS banks
+    assert np.array_equal(r.codes_b[active], E1_OS.data_codes[r.prn[active] - 1])
