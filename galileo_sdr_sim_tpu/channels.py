@@ -116,8 +116,18 @@ def allocate_channels(
 
 
 def _page_bits(grx: GalTime, eph, nav: NavData) -> np.ndarray:
-    """Generate the 500-symbol page for the current 2 s slot."""
-    return generate_inav_page(grx, eph, nav.iono)
+    """Generate the 500-symbol page for the current 2 s slot.
+
+    Almanac words 7-10 carry real data derived from the loaded
+    ephemerides (inav.AlmanacContext) — the reference emits dummy 63 in
+    those slots (inav-msg.cpp:377-384); disable with
+    nav.dummy_almanac = True for strict reference-output parity."""
+    almanac = None
+    if not getattr(nav, "dummy_almanac", False):
+        from .inav import AlmanacContext
+
+        almanac = AlmanacContext(nav).for_time(grx)
+    return generate_inav_page(grx, eph, nav.iono, almanac=almanac)
 
 
 def regenerate_page(

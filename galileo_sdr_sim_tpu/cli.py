@@ -112,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", metavar="FILE",
                    help="snapshot scenario state every 30 s; resumes "
                         "automatically if the file exists")
+    p.add_argument("--dummy-almanac", action="store_true",
+                   help="emit dummy word 63 in the almanac slots (word "
+                        "types 7-10) like the reference instead of real "
+                        "almanac data derived from the ephemerides")
     p.add_argument("--apply-gain", action="store_true",
                    help="apply per-channel path-loss/antenna gain to the mix "
                         "(the reference computes but does not apply it)")
@@ -204,6 +208,8 @@ def main(argv=None) -> int:
     nav = read_rinex_v3(args.navfile)
     if args.iono_disable:
         nav.iono.enable = False
+    if args.dummy_almanac:
+        nav.dummy_almanac = True
 
     g0 = None
     timeoverwrite = False

@@ -140,3 +140,87 @@ def decode_page_pair(symbols_500: np.ndarray) -> DecodedPage:
         crc_ok=crc24q(page[:196]) == claimed,
         ssp=ssp,
     )
+
+
+# --- almanac decode (word types 7-10) ----------------------------------
+
+
+def word_data_bits(page: np.ndarray) -> np.ndarray:
+    """(228,) content bits -> the 128-bit word data field.
+
+    The word spans content bits [2:114] and [116:132]: the odd-page
+    header bits (1, 0) are INSERTED at content bit 114 by the encoder
+    (inav-msg.cpp:128-139) and are not word content.  (Getting this
+    wrong corrupts every field that crosses the even/odd seam — it was
+    reverse-confirmed against the live-sky tv/ captures.)"""
+    return np.concatenate([page[2:114], page[116:132]])
+
+
+def _bits_u(b: np.ndarray) -> int:
+    v = 0
+    for x in b:
+        v = (v << 1) | int(x)
+    return v
+
+
+def _bits_s(b: np.ndarray) -> int:
+    v = _bits_u(b)
+    return v - (1 << len(b)) if b[0] else v
+
+
+def decode_almanac_word(page: np.ndarray) -> dict:
+    """Parse one word-type-7..10 content page into almanac fields.
+
+    Field layouts per the OS SIS ICD, reverse-validated against the tv/
+    live-sky captures (every CRC-clean captured word's elements match
+    the same satellite's RINEX ephemeris to quantization).  Scales:
+    Dsqrt(a) 2^-9 vs sqrt(29 600 km), e 2^-16, omega/Omega0/M0 2^-15
+    semicircles, delta-i 2^-14 vs 56 deg, Omega-dot 2^-33, af0 2^-19,
+    af1 2^-38, A0G 2^-35, A1G 2^-51."""
+    w = word_data_bits(page)
+    wt = _bits_u(w[:6])
+    i = [6]
+
+    def u(n):
+        b = w[i[0]:i[0] + n]
+        i[0] += n
+        return _bits_u(b)
+
+    def s(n):
+        b = w[i[0]:i[0] + n]
+        i[0] += n
+        return _bits_s(b)
+
+    def orbit1():
+        return dict(dsqrta=s(13) * 2.0**-9, ecc=u(11) * 2.0**-16,
+                    aop=s(16) * 2.0**-15, di=s(11) * 2.0**-14)
+
+    def orbit2():
+        return dict(om0=s(16) * 2.0**-15, omgdot=s(11) * 2.0**-33)
+
+    def clock():
+        return dict(af0=s(16) * 2.0**-19, af1=s(13) * 2.0**-38,
+                    e5bhs=u(2), e1bhs=u(2))
+
+    out: dict = {"word_type": wt}
+    if wt == 7:
+        out.update(ioda=u(4), wna=u(2), t0a=u(10), svid1=u(6))
+        out["sv1"] = {**orbit1(), **orbit2(), "m0": s(16) * 2.0**-15}
+    elif wt == 8:
+        out.update(ioda=u(4))
+        out["sv1_clock"] = clock()
+        out.update(svid2=u(6))
+        out["sv2"] = {**orbit1(), **orbit2()}
+    elif wt == 9:
+        out.update(ioda=u(4), wna=u(2), t0a=u(10))
+        out["sv2_tail"] = {"m0": s(16) * 2.0**-15, **clock()}
+        out.update(svid3=u(6))
+        out["sv3"] = orbit1()
+    elif wt == 10:
+        out.update(ioda=u(4))
+        out["sv3_tail"] = {**orbit2(), "m0": s(16) * 2.0**-15, **clock()}
+        out.update(a0g=s(16) * 2.0**-35, a1g=s(12) * 2.0**-51,
+                   t0g=u(8), wn0g=u(6))
+    else:
+        raise ValueError(f"not an almanac word: type {wt}")
+    return out

@@ -164,24 +164,17 @@ def test_config5_soak_600s_stream():
     eng = ScenarioEngine(
         nav, PositionProvider(llh_deg=STATIC), g0, duration_s=600.0
     )
-    block_rates = []
-    rss = []
-
-    def cb(stats):
-        block_rates.append(stats.samples_per_sec)
-        rss.append(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
-
-    synth = StreamingSynthesizer(
-        eng, NullSink(), block_epochs=64, status_cb=None
-    )
+    synth = StreamingSynthesizer(eng, NullSink(), block_epochs=64)
     t0 = time.perf_counter()
     stats = synth.run()
     wall = time.perf_counter() - t0
 
     assert stats.epochs == 5999
     assert stats.samples == 5999 * NUM_IQ_SAMPLES
-    # memory bounded: peak RSS growth after warmup < 256 MB
+    assert stats.realtime_factor > 1.0  # even on a 2-CPU host
+    # memory bounded over the whole run (docs/soak.md records history)
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert peak < 4e6, f"peak rss {peak} kB"  # ru_maxrss is kB on linux
     print(f"soak: {stats.epochs} epochs in {wall:.1f} s "
           f"({stats.realtime_factor:.1f}x realtime), peak rss {peak/1e6:.2f} GB")
 
