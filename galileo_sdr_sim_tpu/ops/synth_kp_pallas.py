@@ -224,6 +224,188 @@ def _kernel(mu_s, fck_s, sym_s, pil_s,
                 out_q[0, rows] += v_q
 
 
+def prepare_fused_operands(inputs: dict) -> dict:
+    """Geometry + window slice only — the staircase resample, tap select,
+    and carry masks all happen inside the fused kernel (v3).  Everything
+    produced here is (B, C, P_PAD)-rank or smaller plus the (B, C, 128,
+    1024) int8 window, so the XLA-side prologue is bandwidth-trivial."""
+    cp0 = inputs["cp0"]
+    p = jnp.arange(P_GRID, dtype=jnp.float32)
+
+    phi = 2.0 * cp0[..., None] + inputs["two_a"][..., None] * p  # (B, C, p)
+    mu = inputs["mu"][..., None]
+    gb = jnp.floor(phi) + jnp.where(mu < 0, -1.0, 0.0)
+    psi = phi - gb
+    gbm = jnp.mod(gb, float(ROWS * COLS))
+
+    g0 = gb[:, :, 0]
+    start = jnp.mod(g0, float(ROWS * COLS)).astype(jnp.int32)
+    win = jax.vmap(
+        lambda srow: jax.vmap(
+            lambda tab_c, s: jax.lax.dynamic_slice(tab_c, (0, s), (W_GT, WIN))
+        )(inputs["vpack_gt"], srow)
+    )(start)  # (B, C, 128, WIN) int8
+
+    e = _pad_p((gb - g0[..., None]) - _S_CONST)  # {-1..2}; 0 in the pad
+    w8 = (gb >= float(ROWS * COLS)).astype(jnp.float32)
+
+    ph_p = inputs["carr0"][..., None] + inputs["fc"][..., None] * p
+    ph_p = ph_p - jnp.floor(ph_p)
+    ang_p = jnp.float32(_TWO_PI) * ph_p
+
+    return dict(
+        win=win, e=e, gbm=_pad_p(gbm), psi=_pad_p(psi), w8=_pad_p(w8),
+        cpr=_pad_p(jnp.cos(ang_p)), cpi=_pad_p(jnp.sin(ang_p)),
+        mu=inputs["mu"], fc_k=inputs["fc_k"],
+        sym=inputs["sym_win"], pil=inputs["pilot_win"],
+    )
+
+
+def _kernel_fused(mu_s, fck_s, sym_s, pil_s,
+                  emat, win, e_in, gbm, psi, w8, cpr, cpi,
+                  out_i, out_q, planes, *, C: int, kap_tile: int):
+    """v3: per-b prologue (staircase dot on the MXU + tap select + carry
+    masks) runs once per batch row into VMEM scratch; the kap-tile loop
+    then consumes scratch with zero HBM plane traffic."""
+    b = pl.program_id(0)
+    kap0 = pl.program_id(1) * kap_tile
+    amp = jnp.float32(LUT_AMPLITUDE)
+    rho8 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0).astype(jnp.float32)
+    thr = jnp.float32(COLS) * (jnp.float32(ROWS) - rho8)  # (8, 1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _fill_planes():
+        for c in range(C):
+            m = jnp.dot(
+                win[0, c].astype(jnp.bfloat16), emat[...],
+                preferred_element_type=jnp.float32,
+            )  # (128, P_PAD), exact +-1 single taps
+            e_c = e_in[0, c].reshape(1, P_PAD)
+            sel = jnp.zeros((W_PACK, P_PAD), jnp.float32)
+            for j in range(J_TAPS):
+                mask = (e_c == jnp.float32(j - 1)).astype(jnp.float32)
+                sel = sel + mask * m[j * W_PACK : (j + 1) * W_PACK]
+            a0b, a1b = sel[0:8], sel[8:16]
+            a0c, a1c = sel[16:24], sel[24:32]
+            gbm_c = gbm[0, c].reshape(1, P_PAD)
+            b0 = (gbm_c >= thr).astype(jnp.float32)  # (8, P_PAD)
+            b1 = (gbm_c + 1.0 >= thr).astype(jnp.float32)
+            planes[c, 0:8] = a0b
+            planes[c, 8:16] = a1b - a0b
+            planes[c, 16:24] = a0c
+            planes[c, 24:32] = a1c - a0c
+            planes[c, 32:40] = b0
+            planes[c, 40:48] = b1 - b0
+
+    for c in range(C):
+        psi_c = psi[0, c].reshape(1, P_PAD)
+        w8_c = w8[0, c].reshape(1, P_PAD)
+        cpr_c = cpr[0, c].reshape(1, P_PAD)
+        cpi_c = cpi[0, c].reshape(1, P_PAD)
+        a0b_c, dab_c = planes[c, 0:8], planes[c, 8:16]
+        a0c_c, dac_c = planes[c, 16:24], planes[c, 24:32]
+        b0_c, db_c = planes[c, 32:40], planes[c, 40:48]
+        mu_c = mu_s[b, c]
+        fck_c = fck_s[b, c]
+        for kt in range(kap_tile):
+            kap = kap0 + kt
+            k8 = jnp.float32(ROWS) * kap.astype(jnp.float32) + rho8
+            delta = jnp.floor(psi_c + mu_c * k8)
+            chip_b = a0b_c + delta * dab_c
+            chip_c = a0c_c + delta * dac_c
+            bsel = b0_c + delta * db_c
+            d0, d1, d2 = sym_s[b, c, kap], sym_s[b, c, kap + 1], sym_s[b, c, kap + 2]
+            s0, s1, s2 = pil_s[b, c, kap], pil_s[b, c, kap + 1], pil_s[b, c, kap + 2]
+            d_lo = d0 + w8_c * (d1 - d0)
+            d_df = (d1 + w8_c * (d2 - d1)) - d_lo
+            s_lo = s0 + w8_c * (s1 - s0)
+            s_df = (s1 + w8_c * (s2 - s1)) - s_lo
+            d_val = d_lo + bsel * d_df
+            s_val = s_lo + bsel * s_df
+            m = chip_b * d_val - chip_c * s_val
+            ph_k = fck_c * k8
+            ph_k = ph_k - jnp.floor(ph_k)
+            ang_k = jnp.float32(_TWO_PI) * ph_k
+            ckr = jnp.cos(ang_k)
+            cki = jnp.sin(ang_k)
+            cis_r = ckr * cpr_c - cki * cpi_c
+            cis_i = ckr * cpi_c + cki * cpr_c
+            v_i = m * cis_r
+            v_q = m * cis_i
+            rows = slice(kt * ROWS, (kt + 1) * ROWS)
+            if C == 1:
+                out_i[0, rows] = amp * v_i
+                out_q[0, rows] = amp * v_q
+            elif c == 0:
+                out_i[0, rows] = v_i
+                out_q[0, rows] = v_q
+            elif c == C - 1:
+                out_i[0, rows] = amp * (out_i[0, rows] + v_i)
+                out_q[0, rows] = amp * (out_q[0, rows] + v_q)
+            else:
+                out_i[0, rows] += v_i
+                out_q[0, rows] += v_q
+
+
+def synth_accum_kp_pallas_fused(
+    inputs: dict, n_k: int, interpret: bool = False
+) -> jax.Array:
+    """v3 fully-fused engine: window slice is the only HBM-rank prep;
+    resample/select/mask + synthesis run in one kernel."""
+    if "vpack_gt" not in inputs:
+        raise ValueError(
+            "the Pallas engine needs the windowed code table: call "
+            "prepare_kp_inputs(..., pack_g=True)"
+        )
+    ops = prepare_fused_operands(inputs)
+    B, C = inputs["cp0"].shape
+    assert n_k % ROWS == 0, n_k
+    n_kap = n_k // ROWS
+    kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
+
+    def vspec(*shape, dtype_ok=True):
+        return pl.BlockSpec(
+            (1,) + shape, lambda b, kap: (b,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    const_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole-array constant
+
+    out_spec = pl.BlockSpec(
+        (1, ROWS * kap_tile, P_PAD), lambda b, kap: (b, kap, 0),
+        memory_space=pltpu.VMEM,
+    )
+    emat = jnp.asarray(_pad_p(jnp.asarray(_staircase_matrix(), jnp.bfloat16)))
+
+    order = ("e", "gbm", "psi", "w8", "cpr", "cpi")
+    in_specs = [
+        sspec(), sspec(), sspec(), sspec(),
+        const_vmem,  # emat
+        vspec(C, W_GT, WIN),  # win
+    ] + [vspec(C, P_PAD) for _ in order]
+    out_i, out_q = pl.pallas_call(
+        functools.partial(_kernel_fused, C=C, kap_tile=kap_tile),
+        grid=(B, n_kap // kap_tile),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((C, 6 * ROWS, P_PAD), jnp.float32)],
+        interpret=interpret,
+    )(
+        ops["mu"].astype(jnp.float32), ops["fc_k"].astype(jnp.float32),
+        ops["sym"].astype(jnp.float32), ops["pil"].astype(jnp.float32),
+        emat, ops["win"],
+        *(ops[k].astype(jnp.float32) for k in order),
+    )
+
+    iq = jnp.stack([out_i[:, :, :P_GRID], out_q[:, :, :P_GRID]], axis=-1)
+    return iq.reshape(B, n_k * P_GRID, 2)
+
+
 def synth_accum_kp_pallas(
     inputs: dict, n_k: int, interpret: bool = False
 ) -> jax.Array:

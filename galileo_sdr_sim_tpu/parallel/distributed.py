@@ -37,6 +37,21 @@ ENV_COORD = "GALILEO_COORDINATOR"
 ENV_NPROC = "GALILEO_NUM_PROCESSES"
 ENV_PID = "GALILEO_PROCESS_ID"
 
+# The accumulation-order bound for psum'd synthesis, stated once.
+#
+# A psum over the 'sat' axis associates the float32 channel additions
+# differently from the single-device sequential/tree reduction, so the
+# int16 truncation `(short)i_acc` (galileo-sdr.cpp:536) can flip a
+# sample by exactly 1 LSB where the accumulator lands on an integer
+# boundary.  Empirically < 0.1% of samples across the test scenarios,
+# never more than 1 LSB — hence: at least this fraction of samples must
+# be bit-identical, and no sample may differ by more than PSUM_MAX_LSB.
+# This is a float-association property, not nondeterminism: the lut512
+# direct engine under the same mesh is asserted exactly equal
+# (tests/test_sharding.py), and any single layout is reproducible.
+PSUM_SAMPLE_IDENTITY_BOUND = 0.999
+PSUM_MAX_LSB = 1
+
 
 def maybe_initialize_from_env() -> bool:
     """Join a process group if GALILEO_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID

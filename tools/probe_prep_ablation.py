@@ -69,6 +69,11 @@ def full_body(inp):
     return jnp.sum(acc[:, ::1313, 0]) * 1e-12
 
 
+def fused_body(inp):
+    acc = skp.synth_accum_kp_pallas_fused(inp, n_k=K_EPOCH)
+    return jnp.sum(acc[:, ::1313, 0]) * 1e-12
+
+
 def prep_body(inp):
     ops = skp.prepare_pallas_operands(inp, K_EPOCH)
     return (jnp.sum(ops["a0b"][:, :, ::7, ::311]) + jnp.sum(ops["cpr"][:, :, ::317])) * 1e-12
@@ -118,6 +123,8 @@ import sys
 stages = sys.argv[1:] or ["full", "prep", "gather", "geometry", "kernel"]
 if "full" in stages:
     timed("full", chain(full_body), inputs)
+if "fused" in stages:
+    timed("fused", chain(fused_body), inputs)
 if "prep" in stages:
     timed("prep", chain(prep_body), inputs)
 if "gather" in stages:
