@@ -60,9 +60,9 @@ def main() -> None:
     from galileo_sdr_sim_tpu.gnss_time import DateTime, date2gal
     from galileo_sdr_sim_tpu.ops.synth_kp import (
         K_EPOCH,
-        accum_kp,
         default_engine,
         prepare_kp_inputs,
+        synth_block_kp,
     )
     from galileo_sdr_sim_tpu.rinex import read_rinex_v3
     from galileo_sdr_sim_tpu.scenario import (
@@ -91,11 +91,18 @@ def main() -> None:
 
     @jax.jit
     def chained(inputs):
+        # the carry perturbs BOTH carr0 and cp0: production feeds fresh
+        # values of every input each call, so nothing (e.g. the chip-
+        # window anchors, which depend only on cp0) may be hoisted out
+        # of the loop as loop-invariant by XLA's LICM
         def body(i, carry):
             inp = dict(inputs)
             inp["carr0"] = inputs["carr0"] + carry * 1e-9
-            acc = accum_kp(inp, n_k=K_EPOCH, engine=engine)
-            return carry + jnp.sum(acc[:, ::1313, 0]) * 1e-12
+            inp["cp0"] = inputs["cp0"] + carry * 1e-9
+            out = synth_block_kp(inp, n_k=K_EPOCH, engine=engine)
+            return carry + jnp.sum(
+                out[:, ::2626].astype(jnp.float32)
+            ) * 1e-12
         return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
 
     float(chained(inputs))  # compile + warm
@@ -113,19 +120,128 @@ def main() -> None:
     # full-B XLA-engine compile would dominate bench wall time
     parity_ok = None
     if engine == "pallas":
-        from galileo_sdr_sim_tpu.ops.synth_kp import synth_block_kp
-
         pinputs = {
-            k: (v if k in ("vpack", "vpack_gt") else v[:8])
+            k: (v if k in ("vpack", "vpack_rs") else v[:8])
             for k, v in inputs.items()
         }
         out_p = np.asarray(synth_block_kp(pinputs, n_k=K_EPOCH, engine="pallas"))
         out_x = np.asarray(synth_block_kp(pinputs, n_k=K_EPOCH, engine="xla"))
         parity_ok = bool(np.array_equal(out_p, out_x))
 
-    # --- sustained end-to-end pipeline rate ---------------------------
+    # --- B=1 low-latency (interactive -i) call rate --------------------
+    # the CLI drops to block_epochs=1 in interactive mode so a UDP 7533
+    # position update reaches emitted samples within one 0.1 s epoch;
+    # this is the device-call rate that bounds that path (reference
+    # guarantee: galileo-sdr.cpp:443 picks up llhr each epoch)
+    b1_inputs = {
+        k: (v if k in ("vpack", "vpack_rs") else v[:1])
+        for k, v in inputs.items()
+    }
+
+    @jax.jit
+    def chained_b1(inputs):
+        def body(i, carry):
+            inp = dict(inputs)
+            inp["carr0"] = inputs["carr0"] + carry * 1e-9
+            inp["cp0"] = inputs["cp0"] + carry * 1e-9
+            out = synth_block_kp(inp, n_k=K_EPOCH, engine=engine)
+            return carry + jnp.sum(
+                out[:, ::2626].astype(jnp.float32)
+            ) * 1e-12
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    float(chained_b1(b1_inputs))
+    best_b1 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained_b1(b1_inputs))
+        best_b1 = min(best_b1, (time.perf_counter() - t0) / R)
+    b1_sps = NUM_IQ_SAMPLES / best_b1
+
+    # --- TPU production-path acceptance artifact -----------------------
+    # Synthesize the PVT scene through the PRODUCTION pipeline
+    # (StreamingSynthesizer + the fused Pallas engine on the chip) and
+    # run the full in-repo receiver on the drained samples: the bench
+    # then carries a position error produced from samples the production
+    # kernel actually emitted (the analogue of the reference's file-sink
+    # run consumed by GNSS-SDR, gnss-sdr_Galileo_E1_ishort.conf:36-100).
     from galileo_sdr_sim_tpu.io.sinks import NullSink
     from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
+
+    fix_error_m = None
+    n_sats_decoded = None
+    if engine == "pallas":
+        from galileo_sdr_sim_tpu import geodesy
+        from galileo_sdr_sim_tpu.constants import R2D
+        from galileo_sdr_sim_tpu.rx_pvt import receiver_fix
+        from galileo_sdr_sim_tpu.rx_track import iq_to_complex
+
+        class _Collect:
+            def __init__(self):
+                self.blocks = []
+
+            def write(self, b):
+                self.blocks.append(np.asarray(b))
+
+            def close(self):
+                pass
+
+        static = np.array([42.3601, -71.0589, 100.0])
+        g18 = scenario_start_time(
+            nav, date2gal(DateTime(2022, 2, 20, 8, 0, 18))
+        )
+        eng_p = ScenarioEngine(
+            nav, PositionProvider(llh_deg=static), g18, duration_s=19.0
+        )
+        sink = _Collect()
+        StreamingSynthesizer(eng_p, sink, block_epochs=8).run()
+        x16 = np.concatenate(
+            [b for b in sink.blocks if b.shape[0] == 8]
+        ).reshape(-1).astype(np.int16)
+        fix = receiver_fix(iq_to_complex(x16))
+        if fix is not None:
+            truth = geodesy.llh2xyz(
+                np.array([static[0] / R2D, static[1] / R2D, static[2]])
+            )
+            fix_error_m = float(np.linalg.norm(fix.solution.xyz - truth))
+            n_sats_decoded = int(fix.solution.n_sats)
+
+    # --- tunnel-independent pipeline rate (device-resident sink) -------
+    # ScenarioEngine -> device synthesis with only a per-block scalar
+    # checksum read back (4 B/block instead of 26 MB/block), so the
+    # steady-state host-prep + device-execute pipeline rate is visible
+    # even though this environment's device->host relay tunnel caps
+    # full drains at ~30-45 MB/s.  The analogue of the reference's
+    # producer-loop rate with the consumer detached
+    # (src/galileo-sdr.cpp:570-595).
+    csum = jax.jit(
+        lambda o: jnp.sum(o[:, ::1001].astype(jnp.float32))
+    )
+    eng_d = ScenarioEngine(
+        nav,
+        PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+        g0,
+        duration_s=30.0,
+    )
+    cache_d: dict = {}
+    # warm both compiles (same shapes as the loop) outside the timing
+    _w = synth_block_kp(inputs, n_k=K_EPOCH, engine=engine)
+    float(csum(_w))
+    t0 = time.perf_counter()
+    dev_epochs = 0
+    sums = []
+    for batch in eng_d.batches(B):
+        inputs_d = prepare_kp_inputs(
+            batch, NUM_IQ_SAMPLES, pad_epochs=B, code_cache=cache_d,
+            pack_g=engine == "pallas",
+        )
+        out = synth_block_kp(inputs_d, n_k=K_EPOCH, engine=engine)
+        sums.append(csum(out))
+        dev_epochs += batch.f_code.shape[0]
+    float(sum(float(s) for s in sums))  # drain the device queue
+    devsink_sps = dev_epochs * NUM_IQ_SAMPLES / (time.perf_counter() - t0)
+
+    # --- sustained end-to-end pipeline rate ---------------------------
 
     eng2 = ScenarioEngine(
         nav,
@@ -170,6 +286,10 @@ def main() -> None:
                 "unit": "samples/s",
                 "vs_baseline": sps / 2.6e6,
                 "parity_ok": parity_ok,
+                "fix_error_m": fix_error_m,
+                "n_sats_decoded": n_sats_decoded,
+                "b1_samples_per_sec": b1_sps,
+                "devsink_samples_per_sec": devsink_sps,
                 "e2e_samples_per_sec": stats.samples_per_sec,
                 "e2e_vs_baseline": stats.realtime_factor,
                 "host_engine_samples_per_sec": host_sps,

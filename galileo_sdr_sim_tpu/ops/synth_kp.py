@@ -92,7 +92,9 @@ def _pack_codes_g(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
     returns already row-ALIGNED planes — the (rho + q0) % 8 one-hot
     alignment einsum of the h-indexed table becomes unnecessary, because
     (1023*rho + G) mod 8184 wraps rows exactly where rho + q0 >= 8.
-    Used by the fused Pallas engine (ops/synth_kp_pallas.py).
+    The production chip fetch no longer gathers from it (see
+    _pack_codes_rs); it is kept as the simplest ground-truth oracle for
+    the chip path (tests/test_synth_kp_pallas.py).
     """
     C = codes_b.shape[0]
     # int8: the gather pulls and the (p, 32) -> (2, 2, 8, p) plane
@@ -108,53 +110,53 @@ def _pack_codes_g(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
     return out
 
 
-WIN = 1024  # contiguous window rows sliced per (epoch, channel): S(p) <= 1022
-J_TAPS = 4  # staircase residual e(p) = D(p) - S(p) in {-1, 0, 1, 2}
-W_GT = J_TAPS * W_PACK  # 128 lanes: j*32 + code*16 + shift*8 + rho
-NCOL_GT = ROWS * COLS + WIN  # columns cover start + S(p) without wrap
+J_RS = 5  # resampled-table taps: e'(p) = e(p) - kappa(p) in {-2..2}
+W_RS = J_RS * W_PACK  # 160 lanes: j*32 + code*16 + shift*8 + rho
+# t = o + p with o = ceil(1300*start/1023) <= 10399 and p < 1300, plus
+# slack to P_PAD = 1408 lanes of slice width; padded to a lane multiple
+T_RS = 11904  # 93 * 128 >= 10399 + 1408
 
 
-def _pack_codes_gt(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
-    """(C, 8184) x2 int8 -> (C, 128, 9208) int8 transposed window table.
+def _pack_codes_rs(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:
+    """(C, 8184) x2 int8 -> (C, 160, 11904) int8 staircase-PRE-RESAMPLED
+    window table.
 
-    vpack_gt[c, j*32 + code*16 + shift*8 + rho, G]
-        = code_flat[c, (1023*rho + G + (j-1) + shift) % 8184]
+    vpack_rs[c, j*32 + code*16 + shift*8 + rho, t]
+        = code_flat[c, (1023*rho + S(t) + (j-2) + shift) % 8184]
 
-    Within one epoch-channel the flat half-chip base gbm(p) sweeps a
-    single contiguous window of <= 1023 consecutive rows of the direct-G
-    table (the (K, p) factorization pins exactly one code period per K
-    row — the row walk over K is carried by rho in the lanes).  So the
-    per-(epoch, channel, p) row gather of vpack_g collapses to ONE
-    contiguous 128 x 1024 column slice at start = gbm(p=0), followed by
-    a CONSTANT staircase resample p -> S(p) = floor(1023*p/1300) (an MXU
-    matmul against a fixed one-hot matrix) and a 4-way select over the
-    j lane groups by the residual e(p) = gbm(p) - start - S(p) in
-    {-1, 0, 1, 2}.  All values are +-1 / one-tap sums, so the result is
-    bit-identical to the gather it replaces.
+    with S(t) = floor(1023*t/1300) the nominal sample->half-chip
+    staircase.  The key observation over _pack_codes_gt: S is
+    *start-independent*, so the staircase resample can be baked into the
+    table once per channel map instead of re-derived per (epoch,
+    channel) with an MXU one-hot matmul (which cost ~190 GFLOP per B=64
+    call for single-tap selects, about as much as the XLA prep it
+    replaced — measured in tools/probe_prep_ablation.py).  Writing
+    start = g0 mod 8184, o = ceil(1300*start/1023), r = 1023*o -
+    1300*start in [0, 1023):
 
-    Columns extend past 8184 so start + S(p) never wraps; G is stored
-    along lanes (last dim) so the slice is contiguous and the matmul
-    contracts over it without any transpose.
+        S(o + p) = start + S(p) + kappa(p),
+        kappa(p) = [ (1023*p mod 1300) + r >= 1300 ] in {0, 1}
+
+    so one contiguous (160, P_PAD) column slice of this table at t = o
+    already carries the resampled rows for the whole epoch, and the tap
+    residual against the true chip geometry is
+
+        e'(p) = (gb(p) - g0) - S(p) - kappa(p) in {-2..2}
+
+    — five taps instead of four, selected with the same mask-sum the
+    kernel already does.  Exact by construction (same +-1 entries).
+    Replaces the per-sample chip fetch of src/galileo-sdr.cpp:512-515.
     """
     C = codes_b.shape[0]
-    out = np.zeros((C, W_GT, NCOL_GT), np.int8)
-    g = np.arange(NCOL_GT)
-    for j in range(J_TAPS):
+    s_rs = (COLS * np.arange(T_RS)) // P_GRID
+    out = np.zeros((C, W_RS, T_RS), np.int8)
+    for j in range(J_RS):
         for ci, flat in enumerate((codes_b, codes_c)):
             for shift in range(2):
                 for r in range(ROWS):
-                    src = (COLS * r + g + (j - 1) + shift) % (ROWS * COLS)
+                    src = (COLS * r + s_rs + (j - 2) + shift) % (ROWS * COLS)
                     out[:, j * W_PACK + ci * 16 + shift * 8 + r, :] = flat[:, src]
     return out
-
-
-def _staircase_matrix() -> np.ndarray:
-    """Constant (1024, 1300) one-hot resample: E[S(p), p] = 1 with
-    S(p) = floor(1023*p/1300).  bfloat16 is exact (single-tap sums)."""
-    s = (COLS * np.arange(P_GRID)) // P_GRID
-    e = np.zeros((WIN, P_GRID), np.float32)
-    e[s, np.arange(P_GRID)] = 1.0
-    return e
 
 
 def compact_channels(batch: EpochBatch, multiple: int = 8) -> EpochBatch:
@@ -218,15 +220,15 @@ def prepare_kp_inputs(
     key = (batch.prn.tobytes(), pack_g)
     if code_cache is not None and code_cache.get("key") == key:
         vpack = code_cache["vpack"]
-        vpack_gt = code_cache.get("vpack_gt")
+        vpack_rs = code_cache.get("vpack_rs")
     else:
         vpack = jnp.asarray(_pack_codes(batch.codes_b, batch.codes_c))
-        vpack_gt = (
-            jnp.asarray(_pack_codes_gt(batch.codes_b, batch.codes_c))
+        vpack_rs = (
+            jnp.asarray(_pack_codes_rs(batch.codes_b, batch.codes_c))
             if pack_g else None
         )
         if code_cache is not None:
-            code_cache.update(key=key, vpack=vpack, vpack_gt=vpack_gt)
+            code_cache.update(key=key, vpack=vpack, vpack_rs=vpack_rs)
 
     sym_f = batch.sym_win.astype(np.float32)
     pil_f = batch.pilot_win.astype(np.float32)
@@ -249,7 +251,7 @@ def prepare_kp_inputs(
         vpack=vpack,  # (C, 1023, 32) f32
     )
     if pack_g:
-        out["vpack_gt"] = vpack_gt  # (C, 128, 9208) int8
+        out["vpack_rs"] = vpack_rs  # (C, 160, 11904) int8
     return out
 
 
@@ -364,9 +366,9 @@ def default_engine() -> str:
 
 
 def accum_kp(inputs: dict, n_k: int, engine: str = "xla") -> jax.Array:
-    """Engine-dispatched accumulator.  'pallas' = fused VMEM kernel
-    (ops/synth_kp_pallas.py, ~2.6x the XLA lowering on v5e); 'xla' = the
-    pure-jnp formulation below.  Both compute identical f32 math."""
+    """Engine-dispatched f32 accumulator.  'pallas' = fused VMEM kernel
+    (ops/synth_kp_pallas.py); 'xla' = the pure-jnp formulation below.
+    Both compute identical f32 math (bit-identical on TPU)."""
     if engine == "pallas":
         from .synth_kp_pallas import synth_accum_kp_pallas
 
@@ -378,7 +380,16 @@ def accum_kp(inputs: dict, n_k: int, engine: str = "xla") -> jax.Array:
 def synth_block_kp(
     inputs: dict, n_k: int = K_EPOCH, engine: str = "xla"
 ) -> jax.Array:
-    """(B, 2 * n_k * 1300) interleaved int16 I/Q."""
+    """(B, 2 * n_k * 1300) interleaved int16 I/Q.
+
+    The Pallas engine truncates and packs int16 inside the kernel
+    (emit="int16"), skipping the separate full-size quantization pass;
+    the XLA engine quantizes the f32 accumulator as a second pass.
+    Identical outputs (the in-kernel path applies the same trunc-cast)."""
+    if engine == "pallas":
+        from .synth_kp_pallas import synth_accum_kp_pallas
+
+        return synth_accum_kp_pallas(inputs, n_k=n_k, emit="int16")
     acc = accum_kp(inputs, n_k=n_k, engine=engine)
     B = acc.shape[0]
     return jnp.trunc(acc).astype(jnp.int16).reshape(B, -1)

@@ -3,38 +3,49 @@
 Motivation (measured on v5e, honest chained harness — see
 docs/kernel_design.md): the XLA lowering of ops/synth_kp.py materializes
 the ~25-op full-rank (B, C, K, p) elementwise chain through HBM, running
-at ~3% of the VPU's ~3.8 Tops/s f32 peak (12.6 ms of a 15.7 ms call at
-B=32).  This kernel performs the identical math entirely in VMEM.
+at ~3% of the VPU's ~3.8 Tops/s f32 peak.  This kernel performs the
+identical math entirely in VMEM, and (v5) reduces the per-call prep to
+one contiguous int8 slice per (epoch, channel):
 
-Structure: grid = (B, n_kap) where n_kap = n_k // 8.  Each program
-computes one (8, 1300) tile of 8 consecutive K rows (K = 8*kap + rho)
-for all channels:
+1. **Pre-resampled window table** (synth_kp._pack_codes_rs): the
+   sample-grid staircase S(p) = floor(1023*p/1300) is start-independent,
+   so it is baked into the packed code table once per channel map.  The
+   whole chip fetch is then a contiguous (160, 1408) int8 column slice
+   at o = ceil(1300*start/1023) plus an in-kernel 5-tap select by the
+   residual e'(p) = (gb(p) - g0) - S(p) - kappa(p) in {-2..2} — no MXU
+   work at all.  (Earlier revisions resampled per (b, c) with a one-hot
+   staircase matmul: ~190 GFLOP per B=64 call to select single taps,
+   costing about as much as the XLA prep it replaced.)
+2. **In-kernel geometry prologue**: per batch row (grid program
+   kap == 0) each channel's (1, P_PAD) geometry — phi/gb/psi, tap
+   select, carry thresholds, carrier sin/cos — is computed from SMEM
+   scalars into VMEM scratch; the kap-tile main loop then consumes
+   scratch with zero HBM plane traffic.
+3. **int16 emission** (emit="int16"): the kernel truncates and packs to
+   int16 in VMEM, saving the two full-size f32 HBM round-trips the
+   separate quantization pass cost (the f32 accumulator variant
+   emit="f32" remains for the satellite-sharded mesh path, which must
+   psum partial sums before truncation — parallel/mesh.py).
 
-    for c in 0..C:
-        delta  = floor(psi_c + mu_c * K)            in {0, 1}
-        chip_b = a0b_c + delta * dab_c              (aligned BOC planes)
-        chip_c = a0c_c + delta * dac_c
-        bsel   = b0_c + delta * db_c                (code-period carry)
-        d_val  = d_lo + bsel * d_df                 (symbol select;
-        s_val  = s_lo + bsel * s_df                  scalars from SMEM)
-        m      = chip_b * d_val - chip_c * s_val
-        cis    = cis_K(8,1) (computed in-kernel) x cis_p(1,1300)
-        acc   += m * cis
-    out[kap] = amp * acc
+Main loop per (kap-tile row block, channel):
 
-All operands are prepared at <= (B, C, 8, 1300) rank by XLA (gather,
-row-alignment einsum, plane diffs — cheap); the p axis is padded to
-1408 lanes (11 x 128) to satisfy Mosaic's lane tiling, and the kap-
-constant inputs keep a constant index map so they are fetched into VMEM
-once per b, not per program.
+    delta  = floor(psi_c + mu_c * K)            in {0, 1}
+    chip_b = a0b_c + delta * dab_c              (aligned BOC planes)
+    chip_c = a0c_c + delta * dac_c
+    bsel   = b0_c + delta * db_c                (code-period carry)
+    d_val  = d_lo + bsel * d_df                 (symbol select;
+    s_val  = s_lo + bsel * s_df                  scalars from SMEM)
+    m      = chip_b * d_val - chip_c * s_val
+    cis    = cis_K(8,1) (computed in-kernel) x cis_p(1,1300)
+    acc   += m * cis                            (channels ascending)
 
-Semantics match ops/synth_kp.synth_accum_kp (same formulas and f32 tile
-math; the channel reduction is sequential here vs XLA's tree reduction,
-so results agree to float32 tolerance, not bit-exactly).  Validated in
-tests/test_synth_kp_pallas.py.
+Semantics match ops/synth_kp.synth_accum_kp exactly (same formulas and
+f32 tile math, same channel order); on TPU the engines are bit-identical
+(pinned by bench.py's parity check and tests/test_synth_kp_pallas.py).
 
 Reference behavior being implemented: the per-sample mixing loop of
-src/galileo-sdr.cpp:481-539 (chip fetch, symbol, carrier, accumulate).
+src/galileo-sdr.cpp:481-539 (chip fetch, symbol, carrier, accumulate,
+(short) cast).
 """
 
 from __future__ import annotations
@@ -48,148 +59,123 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import LUT_AMPLITUDE
-from .synth_kp import (
-    COLS, J_TAPS, P_GRID, ROWS, W_GT, W_PACK, WIN, _staircase_matrix,
-)
+from .synth_kp import COLS, J_RS, P_GRID, ROWS, T_RS, W_PACK, W_RS
 
 P_PAD = 1408  # 11 x 128 lanes (p axis padded from 1300)
+W_WIN = P_PAD + 128  # DMA'd window lanes: 128-aligned start + phase < 128
 _TWO_PI = 2.0 * np.pi
-_S_CONST = ((COLS * np.arange(P_GRID)) // P_GRID).astype(np.float32)
+
+# planes scratch rows per channel
+_PL = {"a0b": 0, "dab": 8, "a0c": 16, "dac": 24, "b0": 32, "db": 40,
+       "psi": 48, "w8": 49, "cpr": 50, "cpi": 51}
+_PL_ROWS = 52
 
 
-def _pad_p(x: jax.Array) -> jax.Array:
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, P_PAD - P_GRID)]
-    return jnp.pad(x, pad)
-
-
-def chip_planes_windowed(inputs: dict, gb: jax.Array) -> tuple:
-    """Chip planes via window-slice + constant staircase matmul + select.
-
-    Per (epoch, channel) the flat half-chip base gbm(p) covers ONE
-    contiguous window of <= 1024 consecutive rows of the direct-G code
-    table (synth_kp._pack_codes_gt), because the (K, p) factorization
-    confines each p-grid pass to a single code period.  So instead of
-    665k serialized 32-wide row-pulls per B=64 batch (the dominant
-    per-call cost of round 1, docs/kernel_design.md), we do:
-
-      1. one contiguous (128, 1024) dynamic slice per (b, c) —
-         bandwidth-bound, ~17 MB per batch;
-      2. a CONSTANT one-hot staircase matmul resampling window rows to
-         the sample grid, S(p) = floor(1023*p/1300) — MXU, bf16-exact
-         (single-tap sums of +-1 values);
-      3. a 4-way select over j lane groups by the integer residual
-         e(p) = gbm(p) - gbm(0) - S(p) in {-1, 0, 1, 2} (the residual
-         of the real code-Doppler slope vs the nominal staircase).
-
-    Bit-identical to the row gather it replaces (all arithmetic is
-    exact on +-1 / {0,1} values); proven in tests/test_synth_kp_pallas.py.
-    Replaces the per-sample chip fetch of src/galileo-sdr.cpp:512-515.
-    """
-    table = inputs["vpack_gt"]  # (C, 128, 9208) int8
-    g0 = gb[:, :, 0]  # (B, C) integer-valued f32
-    start = jnp.mod(g0, float(ROWS * COLS)).astype(jnp.int32)
-    win = jax.vmap(  # over B
-        lambda srow: jax.vmap(
-            lambda tab_c, s: jax.lax.dynamic_slice(tab_c, (0, s), (W_GT, WIN))
-        )(table, srow)
-    )(start)  # (B, C, 128, WIN) int8
-
-    # bf16 halves the MXU-result traffic and is exact here (every output
-    # is a single +-1 tap); CPU backends lack native bf16, so use f32.
-    # The staircase matrix is zero-padded to P_PAD columns so the planes
-    # come out kernel-ready (no separate pad copies).
-    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    emat = jnp.asarray(_pad_p(jnp.asarray(_staircase_matrix(), dt)))
-    m = jnp.einsum(
-        "bclr,rp->bclp", win.astype(dt), emat, preferred_element_type=dt,
-    )  # (B, C, 128, P_PAD) in {-1, +1} (0 in the pad columns)
-
-    e = _pad_p((gb - g0[..., None]) - _S_CONST)  # {-1..2}; 0 in the pad
-    sel = jnp.zeros_like(m[:, :, :W_PACK, :])
-    for j in range(J_TAPS):
-        mask = (e == float(j - 1)).astype(dt)[:, :, None, :]
-        sel = sel + mask * m[:, :, j * W_PACK : (j + 1) * W_PACK, :]
-    sel = sel.astype(jnp.float32)
-    # lane order within the 32: code*16 + shift*8 + rho
-    a0b, a1b = sel[:, :, 0:8], sel[:, :, 8:16]  # (B, C, 8, P_PAD)
-    a0c, a1c = sel[:, :, 16:24], sel[:, :, 24:32]
-    return a0b, a1b, a0c, a1c
-
-
-def prepare_pallas_operands(inputs: dict, n_k: int) -> dict:
-    """XLA-side prep: geometry, windowed chip planes, plane diffs.
-
-    Everything here is at most (B, C, 8, p)-rank — ~1/25 of the
-    full-rank chain — and feeds the fused kernel.  Identical math to
-    the corresponding prologue of synth_kp.synth_accum_kp.
-    """
-    cp0 = inputs["cp0"]
-    B, C = cp0.shape
-
-    p = jnp.arange(P_GRID, dtype=jnp.float32)
-    rho = jnp.arange(ROWS, dtype=jnp.float32)
-
-    phi = 2.0 * cp0[..., None] + inputs["two_a"][..., None] * p  # (B, C, p)
-    mu = inputs["mu"][..., None]
-    gb = jnp.floor(phi) + jnp.where(mu < 0, -1.0, 0.0)
-    psi = phi - gb
-    gbm = jnp.mod(gb, float(ROWS * COLS))
-
-    a0b, a1b, a0c, a1c = chip_planes_windowed(inputs, gb)  # (B, C, 8, P_PAD)
-
-    # code-period carry: rho + q0 >= 8  <=>  gbm >= 1023 * (8 - rho).
-    # Built from pre-padded gbm so the (B, C, 8, p) planes never need a
-    # separate pad copy (pad region: gbm = 0 < thr -> b0 = b1 = 0).
-    gbm_p = _pad_p(gbm)
-    thr = (float(COLS) * (float(ROWS) - rho))[None, None, :, None]
-    b0 = (gbm_p[:, :, None, :] >= thr).astype(jnp.float32)
-    b1 = (gbm_p[:, :, None, :] + 1.0 >= thr).astype(jnp.float32)
-    w8 = (gb >= float(ROWS * COLS)).astype(jnp.float32)  # (B, C, p)
-
-    ph_p = inputs["carr0"][..., None] + inputs["fc"][..., None] * p
-    ph_p = ph_p - jnp.floor(ph_p)
-    ang_p = jnp.float32(_TWO_PI) * ph_p
-    cpr = jnp.cos(ang_p)  # (B, C, p)
-    cpi = jnp.sin(ang_p)
-
-    return dict(
-        a0b=a0b, dab=a1b - a0b,
-        a0c=a0c, dac=a1c - a0c,
-        b0=b0, db=b1 - b0,
-        psi=_pad_p(psi), w8=_pad_p(w8),
-        cpr=_pad_p(cpr), cpi=_pad_p(cpi),
-        mu=inputs["mu"], fc_k=inputs["fc_k"],
-        sym=inputs["sym_win"], pil=inputs["pilot_win"],
-    )
-
-
-def _kernel(mu_s, fck_s, sym_s, pil_s,
-            a0b, dab, a0c, dac, b0, db, psi, w8, cpr, cpi,
-            out_i, out_q, *, C: int, kap_tile: int):
+def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
+               fc_s, fck_s, sym_s, pil_s, tab_hbm,
+               out_i, out_q, planes, win, sems, *, C: int, kap_tile: int,
+               emit_i16: bool):
     b = pl.program_id(0)
     kap0 = pl.program_id(1) * kap_tile
     amp = jnp.float32(LUT_AMPLITUDE)
     rho8 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0).astype(jnp.float32)
+    thr = jnp.float32(COLS) * (jnp.float32(ROWS) - rho8)  # (8, 1)
+    nper = jnp.float32(ROWS * COLS)
 
-    for c in range(C):
-        # channel-invariant tiles, loaded once per (program, channel)
-        psi_c = psi[0, c].reshape(1, P_PAD)
-        w8_c = w8[0, c].reshape(1, P_PAD)
-        cpr_c = cpr[0, c].reshape(1, P_PAD)
-        cpi_c = cpi[0, c].reshape(1, P_PAD)
-        a0b_c, dab_c = a0b[0, c], dab[0, c]
-        a0c_c, dac_c = a0c[0, c], dac[0, c]
-        b0_c, db_c = b0[0, c], db[0, c]
-        mu_c = mu_s[b, c]
-        fck_c = fck_s[b, c]
-        for kt in range(kap_tile):
-            kap = kap0 + kt
-            k8 = jnp.float32(ROWS) * kap.astype(jnp.float32) + rho8  # (8, 1)
-            delta = jnp.floor(psi_c + mu_c * k8)  # (8, P_PAD)
+    def _win_dma(c):
+        # contiguous (W_RS, W_WIN) int8 window: the DMA engine does the
+        # strided copy natively, where an XLA-side vmapped dynamic_slice
+        # lowers to a serialized gather that cost more than the whole
+        # kernel (6.3 of 7.0 ms at B=64 — tools/probe_prep_ablation.py
+        # 'slice').  Mosaic requires the lane-dim slice start to be a
+        # tile multiple, so the slice begins at o128 = (o//128)*128 and
+        # the intra-tile phase = o - o128 is folded into the lane grid
+        # below and removed with one dynamic rotate per plane group.
+        o128 = pl.multiple_of(o128_s[b, c], 128)
+        return pltpu.make_async_copy(
+            tab_hbm.at[c, :, pl.ds(o128, W_WIN)], win.at[c], sems.at[c]
+        )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _fill_planes():
+        for c in range(C):
+            _win_dma(c).start()
+        l_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, W_WIN), 1
+        ).astype(jnp.float32)
+        for c in range(C):
+            phase = ph_s[b, c]  # int32 in [0, 128)
+
+            def rot(x):
+                # planes'[., p] = x[., p + phase]: rotate left by phase
+                # (as a non-negative right-rotate), then crop the lane
+                # padding.  Exact lane permutation — no arithmetic.
+                return pltpu.roll(x, W_WIN - phase, axis=1)[:, :P_PAD]
+
+            # --- integer chip geometry on the lane grid l = p + phase --
+            pp = l_row - phase.astype(jnp.float32)  # sample index p
+            mu_c = mu_s[b, c]
+            phi = 2.0 * cp0_s[b, c] + two_a_s[b, c] * pp  # (1, W_WIN)
+            gb = jnp.floor(phi) + jnp.where(mu_c < 0.0, -1.0, 0.0)
+            psi = phi - gb
+            gbm = gb - nper * jnp.floor(gb * (1.0 / nper))
+            w8 = (gb >= nper).astype(jnp.float32)
+            # staircase S(p) = floor(1023*p/1300) and its residual
+            # m(p) = 1023*p - 1300*S(p), computed in f32: products are
+            # exact integers < 2^24 and the quotient is never within
+            # ~1e-4 of a wrong integer (min fractional gap 1/1300), so
+            # the floor is exact on the valid lanes.
+            s_p = jnp.floor(pp * jnp.float32(COLS / P_GRID))
+            m_p = jnp.float32(COLS) * pp - jnp.float32(P_GRID) * s_p
+            # tap residual vs the pre-resampled window (see
+            # synth_kp._pack_codes_rs): e' = (gb - g0) - S(p) - kappa(p)
+            kap_p = (m_p + r_s[b, c] >= jnp.float32(P_GRID)).astype(
+                jnp.float32
+            )
+            e2 = (gb - g0_s[b, c]) - s_p - kap_p
+            # --- carrier p-factor --------------------------------------
+            ph_p = carr0_s[b, c] + fc_s[b, c] * pp
+            ph_p = ph_p - jnp.floor(ph_p)
+            ang_p = jnp.float32(_TWO_PI) * ph_p
+            # --- chip planes: 5-tap select over the DMA'd window -------
+            _win_dma(c).wait()
+            sel = jnp.zeros((W_PACK, W_WIN), jnp.float32)
+            for j in range(J_RS):
+                mask = (e2 == jnp.float32(j - 2)).astype(jnp.float32)
+                sel = sel + mask * win[c, j * W_PACK : (j + 1) * W_PACK].astype(
+                    jnp.float32
+                )
+            a0b, a1b = sel[0:8], sel[8:16]
+            a0c, a1c = sel[16:24], sel[24:32]
+            b0 = (gbm >= thr).astype(jnp.float32)  # (8, W_WIN)
+            b1 = (gbm + 1.0 >= thr).astype(jnp.float32)
+            planes[c, 0:8] = rot(a0b)
+            planes[c, 8:16] = rot(a1b - a0b)
+            planes[c, 16:24] = rot(a0c)
+            planes[c, 24:32] = rot(a1c - a0c)
+            planes[c, 32:40] = rot(b0)
+            planes[c, 40:48] = rot(b1 - b0)
+            planes[c, 48:49] = rot(psi)
+            planes[c, 49:50] = rot(w8)
+            planes[c, 50:51] = rot(jnp.cos(ang_p))
+            planes[c, 51:52] = rot(jnp.sin(ang_p))
+
+    for kt in range(kap_tile):
+        kap = kap0 + kt
+        k8 = jnp.float32(ROWS) * kap.astype(jnp.float32) + rho8  # (8, 1)
+        acc_i = acc_q = None
+        for c in range(C):
+            psi_c = planes[c, 48:49]
+            w8_c = planes[c, 49:50]
+            cpr_c = planes[c, 50:51]
+            cpi_c = planes[c, 51:52]
+            a0b_c, dab_c = planes[c, 0:8], planes[c, 8:16]
+            a0c_c, dac_c = planes[c, 16:24], planes[c, 24:32]
+            b0_c, db_c = planes[c, 32:40], planes[c, 40:48]
+            delta = jnp.floor(psi_c + mu_s[b, c] * k8)  # (8, P_PAD)
             chip_b = a0b_c + delta * dab_c
             chip_c = a0c_c + delta * dac_c
             bsel = b0_c + delta * db_c
-            # symbol scalars for code periods kap, kap+1, kap+2 (SMEM)
             d0, d1, d2 = sym_s[b, c, kap], sym_s[b, c, kap + 1], sym_s[b, c, kap + 2]
             s0, s1, s2 = pil_s[b, c, kap], pil_s[b, c, kap + 1], pil_s[b, c, kap + 2]
             d_lo = d0 + w8_c * (d1 - d0)  # (1, P_PAD)
@@ -200,7 +186,7 @@ def _kernel(mu_s, fck_s, sym_s, pil_s,
             s_val = s_lo + bsel * s_df
             m = chip_b * d_val - chip_c * s_val
             # rank-1 carrier: K factor computed on an (8, 1) column
-            ph_k = fck_c * k8
+            ph_k = fck_s[b, c] * k8
             ph_k = ph_k - jnp.floor(ph_k)
             ang_k = jnp.float32(_TWO_PI) * ph_k
             ckr = jnp.cos(ang_k)  # (8, 1)
@@ -209,257 +195,99 @@ def _kernel(mu_s, fck_s, sym_s, pil_s,
             cis_i = ckr * cpi_c + cki * cpr_c
             v_i = m * cis_r
             v_q = m * cis_i
-            rows = slice(kt * ROWS, (kt + 1) * ROWS)
-            if C == 1:
-                out_i[0, rows] = amp * v_i
-                out_q[0, rows] = amp * v_q
-            elif c == 0:
-                out_i[0, rows] = v_i
-                out_q[0, rows] = v_q
-            elif c == C - 1:
-                out_i[0, rows] = amp * (out_i[0, rows] + v_i)
-                out_q[0, rows] = amp * (out_q[0, rows] + v_q)
-            else:
-                out_i[0, rows] += v_i
-                out_q[0, rows] += v_q
+            acc_i = v_i if c == 0 else acc_i + v_i
+            acc_q = v_q if c == 0 else acc_q + v_q
+        rows = slice(kt * ROWS, (kt + 1) * ROWS)
+        if emit_i16:
+            # the reference's (short) cast truncates toward zero
+            # (galileo-sdr.cpp:536-537)
+            out_i[0, rows] = jnp.trunc(amp * acc_i).astype(jnp.int16)
+            out_q[0, rows] = jnp.trunc(amp * acc_q).astype(jnp.int16)
+        else:
+            out_i[0, rows] = amp * acc_i
+            out_q[0, rows] = amp * acc_q
 
 
-def prepare_fused_operands(inputs: dict) -> dict:
-    """Geometry + window slice only — the staircase resample, tap select,
-    and carry masks all happen inside the fused kernel (v3).  Everything
-    produced here is (B, C, P_PAD)-rank or smaller plus the (B, C, 128,
-    1024) int8 window, so the XLA-side prologue is bandwidth-trivial."""
+def _window_anchors(inputs: dict) -> tuple:
+    """(B, C) slice anchors o and residuals r for the in-kernel DMA.
+
+    o = ceil(1300*start/1023), r = 1023*o - 1300*start, start = g0 mod
+    8184 — exact in int32 (values < 2^24)."""
     cp0 = inputs["cp0"]
-    p = jnp.arange(P_GRID, dtype=jnp.float32)
-
-    phi = 2.0 * cp0[..., None] + inputs["two_a"][..., None] * p  # (B, C, p)
-    mu = inputs["mu"][..., None]
-    gb = jnp.floor(phi) + jnp.where(mu < 0, -1.0, 0.0)
-    psi = phi - gb
-    gbm = jnp.mod(gb, float(ROWS * COLS))
-
-    g0 = gb[:, :, 0]
+    g0 = jnp.floor(2.0 * cp0) + jnp.where(inputs["mu"] < 0.0, -1.0, 0.0)
     start = jnp.mod(g0, float(ROWS * COLS)).astype(jnp.int32)
-    win = jax.vmap(
-        lambda srow: jax.vmap(
-            lambda tab_c, s: jax.lax.dynamic_slice(tab_c, (0, s), (W_GT, WIN))
-        )(inputs["vpack_gt"], srow)
-    )(start)  # (B, C, 128, WIN) int8
-
-    e = _pad_p((gb - g0[..., None]) - _S_CONST)  # {-1..2}; 0 in the pad
-    w8 = (gb >= float(ROWS * COLS)).astype(jnp.float32)
-
-    ph_p = inputs["carr0"][..., None] + inputs["fc"][..., None] * p
-    ph_p = ph_p - jnp.floor(ph_p)
-    ang_p = jnp.float32(_TWO_PI) * ph_p
-
-    return dict(
-        win=win, e=e, gbm=_pad_p(gbm), psi=_pad_p(psi), w8=_pad_p(w8),
-        cpr=_pad_p(jnp.cos(ang_p)), cpi=_pad_p(jnp.sin(ang_p)),
-        mu=inputs["mu"], fc_k=inputs["fc_k"],
-        sym=inputs["sym_win"], pil=inputs["pilot_win"],
-    )
-
-
-def _kernel_fused(mu_s, fck_s, sym_s, pil_s,
-                  emat, win, e_in, gbm, psi, w8, cpr, cpi,
-                  out_i, out_q, planes, *, C: int, kap_tile: int):
-    """v3: per-b prologue (staircase dot on the MXU + tap select + carry
-    masks) runs once per batch row into VMEM scratch; the kap-tile loop
-    then consumes scratch with zero HBM plane traffic."""
-    b = pl.program_id(0)
-    kap0 = pl.program_id(1) * kap_tile
-    amp = jnp.float32(LUT_AMPLITUDE)
-    rho8 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0).astype(jnp.float32)
-    thr = jnp.float32(COLS) * (jnp.float32(ROWS) - rho8)  # (8, 1)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _fill_planes():
-        for c in range(C):
-            m = jnp.dot(
-                win[0, c].astype(jnp.bfloat16), emat[...],
-                preferred_element_type=jnp.float32,
-            )  # (128, P_PAD), exact +-1 single taps
-            e_c = e_in[0, c].reshape(1, P_PAD)
-            sel = jnp.zeros((W_PACK, P_PAD), jnp.float32)
-            for j in range(J_TAPS):
-                mask = (e_c == jnp.float32(j - 1)).astype(jnp.float32)
-                sel = sel + mask * m[j * W_PACK : (j + 1) * W_PACK]
-            a0b, a1b = sel[0:8], sel[8:16]
-            a0c, a1c = sel[16:24], sel[24:32]
-            gbm_c = gbm[0, c].reshape(1, P_PAD)
-            b0 = (gbm_c >= thr).astype(jnp.float32)  # (8, P_PAD)
-            b1 = (gbm_c + 1.0 >= thr).astype(jnp.float32)
-            planes[c, 0:8] = a0b
-            planes[c, 8:16] = a1b - a0b
-            planes[c, 16:24] = a0c
-            planes[c, 24:32] = a1c - a0c
-            planes[c, 32:40] = b0
-            planes[c, 40:48] = b1 - b0
-
-    for c in range(C):
-        psi_c = psi[0, c].reshape(1, P_PAD)
-        w8_c = w8[0, c].reshape(1, P_PAD)
-        cpr_c = cpr[0, c].reshape(1, P_PAD)
-        cpi_c = cpi[0, c].reshape(1, P_PAD)
-        a0b_c, dab_c = planes[c, 0:8], planes[c, 8:16]
-        a0c_c, dac_c = planes[c, 16:24], planes[c, 24:32]
-        b0_c, db_c = planes[c, 32:40], planes[c, 40:48]
-        mu_c = mu_s[b, c]
-        fck_c = fck_s[b, c]
-        for kt in range(kap_tile):
-            kap = kap0 + kt
-            k8 = jnp.float32(ROWS) * kap.astype(jnp.float32) + rho8
-            delta = jnp.floor(psi_c + mu_c * k8)
-            chip_b = a0b_c + delta * dab_c
-            chip_c = a0c_c + delta * dac_c
-            bsel = b0_c + delta * db_c
-            d0, d1, d2 = sym_s[b, c, kap], sym_s[b, c, kap + 1], sym_s[b, c, kap + 2]
-            s0, s1, s2 = pil_s[b, c, kap], pil_s[b, c, kap + 1], pil_s[b, c, kap + 2]
-            d_lo = d0 + w8_c * (d1 - d0)
-            d_df = (d1 + w8_c * (d2 - d1)) - d_lo
-            s_lo = s0 + w8_c * (s1 - s0)
-            s_df = (s1 + w8_c * (s2 - s1)) - s_lo
-            d_val = d_lo + bsel * d_df
-            s_val = s_lo + bsel * s_df
-            m = chip_b * d_val - chip_c * s_val
-            ph_k = fck_c * k8
-            ph_k = ph_k - jnp.floor(ph_k)
-            ang_k = jnp.float32(_TWO_PI) * ph_k
-            ckr = jnp.cos(ang_k)
-            cki = jnp.sin(ang_k)
-            cis_r = ckr * cpr_c - cki * cpi_c
-            cis_i = ckr * cpi_c + cki * cpr_c
-            v_i = m * cis_r
-            v_q = m * cis_i
-            rows = slice(kt * ROWS, (kt + 1) * ROWS)
-            if C == 1:
-                out_i[0, rows] = amp * v_i
-                out_q[0, rows] = amp * v_q
-            elif c == 0:
-                out_i[0, rows] = v_i
-                out_q[0, rows] = v_q
-            elif c == C - 1:
-                out_i[0, rows] = amp * (out_i[0, rows] + v_i)
-                out_q[0, rows] = amp * (out_q[0, rows] + v_q)
-            else:
-                out_i[0, rows] += v_i
-                out_q[0, rows] += v_q
-
-
-def synth_accum_kp_pallas_fused(
-    inputs: dict, n_k: int, interpret: bool = False
-) -> jax.Array:
-    """v3 fully-fused engine: window slice is the only HBM-rank prep;
-    resample/select/mask + synthesis run in one kernel."""
-    if "vpack_gt" not in inputs:
-        raise ValueError(
-            "the Pallas engine needs the windowed code table: call "
-            "prepare_kp_inputs(..., pack_g=True)"
-        )
-    ops = prepare_fused_operands(inputs)
-    B, C = inputs["cp0"].shape
-    assert n_k % ROWS == 0, n_k
-    n_kap = n_k // ROWS
-    kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
-
-    def vspec(*shape, dtype_ok=True):
-        return pl.BlockSpec(
-            (1,) + shape, lambda b, kap: (b,) + (0,) * len(shape),
-            memory_space=pltpu.VMEM,
-        )
-
-    sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    const_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole-array constant
-
-    out_spec = pl.BlockSpec(
-        (1, ROWS * kap_tile, P_PAD), lambda b, kap: (b, kap, 0),
-        memory_space=pltpu.VMEM,
-    )
-    emat = jnp.asarray(_pad_p(jnp.asarray(_staircase_matrix(), jnp.bfloat16)))
-
-    order = ("e", "gbm", "psi", "w8", "cpr", "cpi")
-    in_specs = [
-        sspec(), sspec(), sspec(), sspec(),
-        const_vmem,  # emat
-        vspec(C, W_GT, WIN),  # win
-    ] + [vspec(C, P_PAD) for _ in order]
-    out_i, out_q = pl.pallas_call(
-        functools.partial(_kernel_fused, C=C, kap_tile=kap_tile),
-        grid=(B, n_kap // kap_tile),
-        in_specs=in_specs,
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((C, 6 * ROWS, P_PAD), jnp.float32)],
-        interpret=interpret,
-    )(
-        ops["mu"].astype(jnp.float32), ops["fc_k"].astype(jnp.float32),
-        ops["sym"].astype(jnp.float32), ops["pil"].astype(jnp.float32),
-        emat, ops["win"],
-        *(ops[k].astype(jnp.float32) for k in order),
-    )
-
-    iq = jnp.stack([out_i[:, :, :P_GRID], out_q[:, :, :P_GRID]], axis=-1)
-    return iq.reshape(B, n_k * P_GRID, 2)
+    o = (P_GRID * start + (COLS - 1)) // COLS
+    r = COLS * o - P_GRID * start
+    return g0, o, r
 
 
 def synth_accum_kp_pallas(
-    inputs: dict, n_k: int, interpret: bool = False
+    inputs: dict,
+    n_k: int,
+    interpret: bool = False,
+    emit: str = "f32",
 ) -> jax.Array:
-    """Drop-in replacement for synth_kp.synth_accum_kp: (B, n_k*1300, 2)
-    float32 channel-summed accumulator, fused on the VPU."""
-    if "vpack_gt" not in inputs:
+    """Fused (v5) Pallas engine.
+
+    emit="f32": drop-in replacement for synth_kp.synth_accum_kp —
+    (B, n_k*1300, 2) float32 channel-summed accumulator (the mesh path
+    psums these partials over the satellite axis before truncation).
+
+    emit="int16": additionally truncates and packs in-kernel —
+    (B, 2*n_k*1300) interleaved int16, the full synth_block_kp output,
+    skipping the separate full-size quantization pass.
+    """
+    if "vpack_rs" not in inputs:
         raise ValueError(
-            "the Pallas engine needs the windowed code table: call "
+            "the Pallas engine needs the pre-resampled code table: call "
             "prepare_kp_inputs(..., pack_g=True)"
         )
-    ops = prepare_pallas_operands(inputs, n_k)
-    B, C = inputs["cp0"].shape
+    assert emit in ("f32", "int16"), emit
+    cp0 = inputs["cp0"]
+    B, C = cp0.shape
     assert n_k % ROWS == 0, n_k
     n_kap = n_k // ROWS
     kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
 
-    def vspec(*shape):
-        # kap-constant VMEM block: fetched once per b
-        return pl.BlockSpec(
-            (1,) + shape, lambda b, kap: (b,) + (0,) * len(shape),
-            memory_space=pltpu.VMEM,
-        )
+    g0, o, r = _window_anchors(inputs)
+    o128 = (o // 128) * 128
+    phase = o - o128
 
-    # SMEM scalar tables are passed whole (unblocked) and indexed by
-    # program_id in the kernel — Mosaic requires full-array SMEM blocks.
     sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-
     out_spec = pl.BlockSpec(
         (1, ROWS * kap_tile, P_PAD), lambda b, kap: (b, kap, 0),
         memory_space=pltpu.VMEM,
     )
-
-    order = ("mu", "fc_k", "sym", "pil",
-             "a0b", "dab", "a0c", "dac", "b0", "db",
-             "psi", "w8", "cpr", "cpi")
-    in_specs = [
-        sspec(), sspec(), sspec(), sspec(),
-        vspec(C, ROWS, P_PAD), vspec(C, ROWS, P_PAD),
-        vspec(C, ROWS, P_PAD), vspec(C, ROWS, P_PAD),
-        vspec(C, ROWS, P_PAD), vspec(C, ROWS, P_PAD),
-        vspec(C, P_PAD), vspec(C, P_PAD),
-        vspec(C, P_PAD), vspec(C, P_PAD),
-    ]
+    out_dtype = jnp.int16 if emit == "int16" else jnp.float32
+    f32 = lambda k: inputs[k].astype(jnp.float32)  # noqa: E731
     out_i, out_q = pl.pallas_call(
-        functools.partial(_kernel, C=C, kap_tile=kap_tile),
+        functools.partial(
+            _kernel_v5, C=C, kap_tile=kap_tile, emit_i16=emit == "int16"
+        ),
         grid=(B, n_kap // kap_tile),
-        in_specs=in_specs,
+        in_specs=[sspec()] * 12 + [
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
+        ],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), out_dtype),
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), out_dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((C, _PL_ROWS, P_PAD), jnp.float32),
+            pltpu.VMEM((C, W_RS, W_WIN), jnp.int8),
+            pltpu.SemaphoreType.DMA((C,)),
+        ],
         interpret=interpret,
-    )(*(ops[k].astype(jnp.float32) for k in order))
+    )(
+        f32("cp0"), f32("two_a"), f32("mu"), g0.astype(jnp.float32),
+        o128.astype(jnp.int32), phase.astype(jnp.int32),
+        r.astype(jnp.float32), f32("carr0"), f32("fc"), f32("fc_k"),
+        f32("sym_win"), f32("pilot_win"),
+        inputs["vpack_rs"],
+    )
 
     iq = jnp.stack([out_i[:, :, :P_GRID], out_q[:, :, :P_GRID]], axis=-1)
+    if emit == "int16":
+        return iq.reshape(B, 2 * n_k * P_GRID)
     return iq.reshape(B, n_k * P_GRID, 2)

@@ -106,7 +106,7 @@ def _global_shard(inputs: dict, mesh, engine: str):
         sym_win=P("time", "sat", None),
         pilot_win=P("time", "sat", None),
     )
-    table_key = "vpack_gt" if engine == "pallas" else "vpack"
+    table_key = "vpack_rs" if engine == "pallas" else "vpack"
     specs[table_key] = P("sat", None, None)
     order = KP_ORDER + (table_key,)
 

@@ -137,7 +137,7 @@ def sharded_kp_fn(mesh: Mesh, n_k: int, engine: str = "xla"):
     'xla' runs everywhere (the CPU dry-run mesh uses it)."""
     from ..ops.synth_kp import accum_kp
 
-    table_key = "vpack_gt" if engine == "pallas" else "vpack"
+    table_key = "vpack_rs" if engine == "pallas" else "vpack"
 
     def local_step(cp0, two_a, mu, carr0, fc, fc_k, sym_win, pilot_win, vpack):
         inputs = {
@@ -153,7 +153,7 @@ def sharded_kp_fn(mesh: Mesh, n_k: int, engine: str = "xla"):
     in_specs = (bc, bc, bc, bc, bc, bc,
                 P("time", "sat", None),  # sym_win
                 P("time", "sat", None),  # pilot_win
-                P("sat", None, None))    # vpack / vpack_gt
+                P("sat", None, None))    # vpack / vpack_rs
     out_spec = P("time", None, None)
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which the vma checker (jax >= 0.5 shard_map) rejects
@@ -177,7 +177,7 @@ def shard_kp_inputs(inputs: dict, mesh: Mesh, engine: str = "xla") -> tuple:
         sym_win=P("time", "sat", None),
         pilot_win=P("time", "sat", None),
     )
-    table_key = "vpack_gt" if engine == "pallas" else "vpack"
+    table_key = "vpack_rs" if engine == "pallas" else "vpack"
     order = KP_ORDER + (table_key,)
     specs[table_key] = P("sat", None, None)
     return tuple(

@@ -1,18 +1,26 @@
 """Fused Pallas engine vs the XLA (K,p) engine.
 
-On TPU the two are bit-identical (same f32 tile math; validated on
-hardware during development).  These tests run the kernel in Pallas
-interpreter mode on the CPU backend so CI needs no TPU; shapes are kept
-small because the interpreter executes op-by-op.
+On TPU the two are bit-identical (same f32 tile math; pinned on hardware
+by bench.py's parity check every round).  These tests run the kernel in
+Pallas interpreter mode on the CPU backend so CI needs no TPU; shapes
+are kept small because the interpreter executes op-by-op.  The chip-
+fetch path (pre-resampled table + 5-tap select) is additionally pinned
+bit-exactly against the direct row-gather oracle at adversarial seeds.
 """
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from galileo_sdr_sim_tpu.ops.synth_kp import (
+    COLS,
+    J_RS,
     P_GRID,
     ROWS,
+    W_PACK,
+    _pack_codes_g,
+    _pack_codes_rs,
     accum_kp,
     default_engine,
     prepare_kp_inputs,
@@ -42,23 +50,29 @@ def test_pallas_matches_xla_engine_interpret(batch_1s):
     np.testing.assert_allclose(out[~mismatch], ref[~mismatch], atol=1e-2)
 
 
-def test_windowed_chip_planes_match_row_gather():
-    """The slice + constant-staircase-matmul + select chip path must be
+def test_int16_emit_matches_f32_emit(batch_1s):
+    """emit="int16" must equal the trunc-cast of the f32 accumulator —
+    the in-kernel quantization is the same (short) cast the XLA path
+    applies afterwards (reference galileo-sdr.cpp:536-537)."""
+    n_k = ROWS
+    inputs = _small_inputs(batch_1s)
+    acc = np.asarray(synth_accum_kp_pallas(inputs, n_k=n_k, interpret=True))
+    i16 = np.asarray(
+        synth_accum_kp_pallas(inputs, n_k=n_k, interpret=True, emit="int16")
+    )
+    B = acc.shape[0]
+    ref = np.trunc(acc).astype(np.int16).reshape(B, -1)
+    np.testing.assert_array_equal(i16, ref)
+
+
+def test_resampled_window_select_matches_row_gather():
+    """The pre-resampled-table slice + 5-tap select chip path must be
     bit-identical to the per-(b, c, p) row gather of the direct-G table
-    it replaced (round-1 design), including at adversarial seeds: code
-    phase at 0 / just under the wrap, code-Doppler drift mu at both
-    extremes and zero."""
-    import jax.numpy as jnp
-
-    from galileo_sdr_sim_tpu.ops.synth_kp import (
-        COLS, _pack_codes_g, _pack_codes_gt,
-    )
-    from galileo_sdr_sim_tpu.ops.synth_kp_pallas import (
-        _S_CONST, chip_planes_windowed,
-    )
-
+    (the round-1 design, kept as _pack_codes_g purely as this oracle),
+    including at adversarial seeds: code phase at 0 / just under the
+    wrap, code-Doppler drift mu at both extremes and zero."""
     rng = np.random.default_rng(0)
-    C, B = 8, 7
+    C, B = 4, 7
     codes_b = rng.choice([-1, 1], size=(C, ROWS * COLS)).astype(np.int8)
     codes_c = rng.choice([-1, 1], size=(C, ROWS * COLS)).astype(np.int8)
     cp0 = rng.uniform(0, 4092, (B, C))
@@ -71,38 +85,48 @@ def test_windowed_chip_planes_match_row_gather():
     mu[2, 0] = 0.0
     two_a = (COLS + mu) / P_GRID  # mu = 2*a*P_GRID - COLS
 
-    inputs = dict(
-        cp0=jnp.asarray(cp0, jnp.float32),
-        two_a=jnp.asarray(two_a, jnp.float32),
-        mu=jnp.asarray(mu, jnp.float32),
-        vpack_gt=jnp.asarray(_pack_codes_gt(codes_b, codes_c)),
-    )
-    p = jnp.arange(P_GRID, dtype=jnp.float32)
-    phi = 2.0 * inputs["cp0"][..., None] + inputs["two_a"][..., None] * p
-    gb = jnp.floor(phi) + jnp.where(inputs["mu"][..., None] < 0, -1.0, 0.0)
-    gbm = jnp.mod(gb, float(ROWS * COLS))
+    p = np.arange(P_GRID, dtype=np.float64)
+    phi = 2.0 * cp0[..., None] + two_a[..., None] * p
+    gb = np.floor(phi) + np.where(mu[..., None] < 0, -1.0, 0.0)
+    gbm = np.mod(gb, float(ROWS * COLS)).astype(np.int64)
 
-    # the round-1 reference path: one 32-wide row pull per (b, c, p)
-    vpack_g = jnp.asarray(_pack_codes_g(codes_b, codes_c))
-    idx = gbm.astype(jnp.int32)
-    pulled = jax.vmap(
-        lambda ib: jax.vmap(lambda tab, ic: tab[ic])(vpack_g, ib)
-    )(idx)
-    A = pulled.reshape(B, C, P_GRID, 2, 2, ROWS).transpose(0, 1, 3, 4, 5, 2)
-    old = (A[:, :, 0, 0], A[:, :, 0, 1], A[:, :, 1, 0], A[:, :, 1, 1])
+    # oracle: one 32-wide row pull per (b, c, p) from the direct-G table
+    vpack_g = _pack_codes_g(codes_b, codes_c)  # (C, 8184, 32)
+    pulled = np.stack([
+        np.stack([vpack_g[c][gbm[b, c]] for c in range(C)]) for b in range(B)
+    ])  # (B, C, p, 32)
+    oracle = pulled.transpose(0, 1, 3, 2)  # (B, C, 32, p)
 
-    new = chip_planes_windowed(inputs, gb)
-    for o, n in zip(old, new):
-        np.testing.assert_array_equal(
-            np.asarray(o, np.float32), np.asarray(n)[:, :, :, :P_GRID]
-        )
+    # production path: slice the pre-resampled table at o, select by
+    # e'(p) = (gb - g0) - S(p) - kappa(p)  (mirrors _kernel_v5)
+    vpack_rs = _pack_codes_rs(codes_b, codes_c)  # (C, 160, T_RS)
+    g0 = gb[:, :, 0]
+    start = np.mod(g0, float(ROWS * COLS)).astype(np.int64)
+    o = (P_GRID * start + (COLS - 1)) // COLS
+    r = COLS * o - P_GRID * start
+    assert (r >= 0).all() and (r < COLS).all()
+    s_p = (COLS * np.arange(P_GRID)) // P_GRID
+    m_p = (COLS * np.arange(P_GRID)) % P_GRID
+    sel = np.zeros((B, C, W_PACK, P_GRID), np.int64)
+    e_all = []
+    for b in range(B):
+        for c in range(C):
+            win = vpack_rs[c][:, o[b, c] : o[b, c] + P_GRID]
+            kappa = (m_p + r[b, c] >= P_GRID).astype(np.int64)
+            e2 = (gb[b, c] - g0[b, c]).astype(np.int64) - s_p - kappa
+            e_all.append(e2)
+            assert e2.min() >= -2 and e2.max() <= 2, (e2.min(), e2.max())
+            for j in range(J_RS):
+                mask = e2 == (j - 2)
+                sel[b, c][:, mask] = win[j * W_PACK : (j + 1) * W_PACK][:, mask]
+    np.testing.assert_array_equal(sel, oracle)
+    # both tap extremes actually exercised across the adversarial seeds
+    e_all = np.asarray(e_all)
+    assert e_all.min() == -2 or e_all.min() == -1
+    assert e_all.max() >= 1
 
-    # staircase residual stays within the 4 packed taps
-    e = np.asarray(gb - gb[:, :, :1]) - np.asarray(_S_CONST)
-    assert e.min() >= -1 and e.max() <= 2, (e.min(), e.max())
 
-
-def test_pallas_requires_g_table(batch_1s):
+def test_pallas_requires_rs_table(batch_1s):
     inputs = prepare_kp_inputs(batch_1s, ROWS * P_GRID)
     with pytest.raises(ValueError, match="pack_g"):
         synth_accum_kp_pallas(inputs, n_k=ROWS, interpret=True)
