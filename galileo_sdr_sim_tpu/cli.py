@@ -26,6 +26,7 @@ Extensions (long flags, optional):
   --mode {float,lut512}   carrier synthesis mode (default float)
   --block-epochs N        device batch size for offline generation
   --checkpoint FILE       save/resume scenario state each 30 s block
+  --trace-dir DIR         jax.profiler device trace of the run
 """
 
 from __future__ import annotations
@@ -124,6 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "synthesized nav messages if no bits arrive on UDP "
                         "7531 within SEC seconds (default: wait forever, "
                         "like the reference, galileo-sdr.cpp:389-416)")
+    p.add_argument("--noise-cn0", type=float, default=None, metavar="DBHZ",
+                   help="add calibrated AWGN to the output for a target "
+                        "per-component C/N0 [dB-Hz] (noise.py; emulates "
+                        "the over-the-air channel of the reference's "
+                        "hardware-receiver validation)")
+    p.add_argument("--trace-dir", metavar="DIR",
+                   help="write a jax.profiler device trace of the run to "
+                        "DIR (TensorBoard-loadable; profiling.trace)")
     p.add_argument("--native-fifo", action="store_true",
                    help="route the file sink through the native C++ ring "
                         "buffer + consumer thread (always on for USRP "
@@ -309,6 +318,11 @@ def main(argv=None) -> int:
     else:
         sink = FileSink(args.outfile)
 
+    if args.noise_cn0 is not None:
+        from .noise import AwgnSink
+
+        sink = AwgnSink(sink, args.noise_cn0)
+
     status_cb = _status_printer(engine, g0) if args.verbose else None
     block_epochs = args.block_epochs or (1 if args.interactive else 8)
     synth = StreamingSynthesizer(
@@ -324,7 +338,13 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGINT, _sigint)
 
     try:
-        stats = synth.run()
+        if args.trace_dir:
+            from .profiling import trace
+
+            with trace(args.trace_dir):
+                stats = synth.run()
+        else:
+            stats = synth.run()
     finally:
         sink.close()
         if servers:
@@ -334,6 +354,8 @@ def main(argv=None) -> int:
         f"\nDone! {stats.epochs} epochs, {stats.samples} samples, "
         f"{stats.wall_s:.1f} s wall ({stats.realtime_factor:.1f}x realtime)\n"
     )
+    if args.verbose:
+        sys.stderr.write(stats.stage_report() + "\n")
     return 0
 
 

@@ -371,13 +371,16 @@ def receiver_fix(
     meas_sample: float | None = None,
     acq_threshold: float = 8.0,
     min_sats: int = 4,
+    n_noncoh: int = 1,
 ) -> ReceiverFix | None:
     """Full receiver chain on a complex baseband stream: returns the PVT
-    fix, or None when fewer than min_sats decode."""
+    fix, or None when fewer than min_sats decode.  For noisy streams
+    pass n_noncoh > 1 (non-coherent acquisition accumulation; see
+    rx_track.acquire)."""
     prns = prn_candidates or list(range(1, MAX_SAT + 1))
     acqs: list[Acquisition] = []
     for prn in prns:
-        a = acquire(x, prn)
+        a = acquire(x, prn, n_noncoh=n_noncoh)
         if a.metric > acq_threshold:
             acqs.append(a)
     tracks: dict[int, TrackResult] = {}

@@ -75,18 +75,45 @@ def _pcps(xw: np.ndarray, rep_fft: np.ndarray, t: np.ndarray, dopplers):
     return best
 
 
+def _pcps_noncoh(windows: np.ndarray, rep_fft: np.ndarray, t: np.ndarray,
+                 dopplers):
+    """Non-coherently accumulated PCPS: sum |corr|^2 over M code-period
+    windows per Doppler cell.  The accumulation buys ~sqrt(M) detection
+    margin at low C/N0 where a single 4 ms coherent window is blind
+    (~<47 dB-Hz for a clean peak/median >= 8) — the same coherent x
+    non-coherent structure as GNSS-SDR's PCPS acquisition blocks
+    (reference gnss-sdr_Galileo_E1_ishort.conf:42-51)."""
+    best = (0.0, 0.0, 0)
+    for fd in dopplers:
+        wipe = np.exp(-2j * np.pi * fd * t)
+        pwr = np.zeros(N_PER)
+        for xw in windows:
+            corr = np.fft.ifft(np.fft.fft(xw * wipe) * rep_fft)
+            pwr += corr.real**2 + corr.imag**2
+        m = pwr.max() / max(np.median(pwr), 1e-12)
+        if m > best[0]:
+            best = (m, fd, int(pwr.argmax()))
+    return best
+
+
 def acquire(
     x: np.ndarray,
     prn: int,
     doppler_span: float = 4000.0,
     n0: int = 0,
+    n_noncoh: int = 1,
 ) -> Acquisition:
     """PCPS acquisition of one PRN on the E1B component.
 
-    Correlates one code period at two window offsets (0 and N_PER/2) so a
-    data-symbol transition cannot null both, mirroring GNSS-SDR's
-    non-coherent PCPS (conf:42-51 uses cboc=false, i.e. the same
-    sine-BOC replica this uses).
+    n_noncoh=1 (noise-free streams): correlates one code period at two
+    window offsets (0 and N_PER/2) so a data-symbol transition cannot
+    null both, mirroring GNSS-SDR's non-coherent PCPS (conf:42-51 uses
+    cboc=false, i.e. the same sine-BOC replica this uses).
+
+    n_noncoh=M>1 (noisy streams): accumulates |corr|^2 over M
+    consecutive code periods per Doppler cell instead (symbol flips
+    cannot null a power sum; the metric is peak/median of the summed
+    power map, whose noise floor tightens ~sqrt(M)).
     """
     t = np.arange(N_PER) / SAMP_RATE
     idx = np.floor(t * 2.0 * CODE_FREQ_E1).astype(np.int64) % (2 * CA_SEQ_LEN_E1)
@@ -99,12 +126,19 @@ def acquire(
     # 250 Hz wide -- and a 60 Hz error false-locks the squaring loop at
     # its 62.5 Hz alias, so the fine stage lives in track() instead).
     coarse = np.arange(-doppler_span, doppler_span + 1.0, 100.0)
-    best = (0.0, 0.0, 0, 0)  # metric, fd, lag, window start
-    for w0 in (n0, n0 + N_PER // 2):
-        m, fd, lag = _pcps(x[w0 : w0 + N_PER], rep_fft, t, coarse)
-        if m > best[0]:
-            best = (m, fd, lag, w0)
-    m, fd, lag, w0 = best
+    if n_noncoh > 1:
+        windows = np.stack(
+            [x[n0 + w * N_PER : n0 + (w + 1) * N_PER] for w in range(n_noncoh)]
+        )
+        m, fd, lag = _pcps_noncoh(windows, rep_fft, t, coarse)
+        w0 = n0
+    else:
+        best = (0.0, 0.0, 0, 0)  # metric, fd, lag, window start
+        for w0 in (n0, n0 + N_PER // 2):
+            m, fd, lag = _pcps(x[w0 : w0 + N_PER], rep_fft, t, coarse)
+            if m > best[0]:
+                best = (m, fd, lag, w0)
+        m, fd, lag, w0 = best
 
     # corr[m] = sum_n x[w0+n+m] rep[n]: sample w0+lag carries code phase 0.
     f_code = CODE_FREQ_E1 + fd * CARR_TO_CODE_E1

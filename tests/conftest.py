@@ -61,3 +61,47 @@ def engine_1s(nav, g0):
 @pytest.fixture(scope="session")
 def batch_1s(engine_1s):
     return list(engine_1s.batches(8))[0]
+
+
+PVT_STATIC = np.array([42.3601, -71.0589, 100.0])  # deg, deg, m
+
+
+@pytest.fixture(scope="session")
+def pvt_scene(nav):
+    """18.4 s noise-free int16 stream + its start time, shared by the
+    PVT acceptance test (test_e2e_pvt) and the AWGN margin test
+    (test_e2e_noise).  Scene start 2022-02-20 08:00:18 (tow 28818): the
+    I/NAV schedule delivers words 0,1,3,5,0 at transmit seconds
+    28819-28827 and words 2,4 at 28831-28835, so every ephemeris word
+    type lands inside the stream."""
+    from galileo_sdr_sim_tpu.constants import NUM_IQ_SAMPLES
+    from galileo_sdr_sim_tpu.gnss_time import DateTime, date2gal
+    from galileo_sdr_sim_tpu.ops.synth_kp import synth_batch_kp_host
+    from galileo_sdr_sim_tpu.scenario import (
+        PositionProvider,
+        ScenarioEngine,
+        scenario_start_time,
+    )
+
+    g0 = scenario_start_time(nav, date2gal(DateTime(2022, 2, 20, 8, 0, 18)))
+    eng = ScenarioEngine(
+        nav, PositionProvider(llh_deg=PVT_STATIC), g0, duration_s=19.0
+    )
+    iq = []
+    dropped = 0
+    for batch in eng.batches(8):
+        if batch.f_code.shape[0] != 8:
+            # keep a single (B=8) compile: stop at the first channel-map
+            # change / partial batch instead of recompiling for its shape
+            dropped += batch.f_code.shape[0]
+            break
+        iq.append(synth_batch_kp_host(batch, NUM_IQ_SAMPLES, engine="xla"))
+    # the decode chain needs every ephemeris word type on air (>= 18 s).
+    # If allocation timing shifts and the tail-drop shortens the scene
+    # below that, fail loudly instead of flaking downstream.
+    assert len(iq) * 8 * 0.1 >= 18.0, (
+        f"scene too short: {len(iq) * 8 * 0.1:.1f} s kept "
+        f"({dropped} tail epochs dropped to keep one compile)"
+    )
+    x16 = np.concatenate(iq).reshape(-1).astype(np.int16)
+    return g0, x16

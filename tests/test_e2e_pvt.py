@@ -18,33 +18,14 @@ import numpy as np
 import pytest
 
 from galileo_sdr_sim_tpu import geodesy
-from galileo_sdr_sim_tpu.constants import NUM_IQ_SAMPLES, R2D, SAMP_RATE
-from galileo_sdr_sim_tpu.gnss_time import DateTime, date2gal
-from galileo_sdr_sim_tpu.ops.synth_kp import synth_batch_kp_host
+from galileo_sdr_sim_tpu.constants import R2D, SAMP_RATE
 from galileo_sdr_sim_tpu.rx_pvt import receiver_fix
 from galileo_sdr_sim_tpu.rx_track import iq_to_complex
-from galileo_sdr_sim_tpu.scenario import (
-    PositionProvider,
-    ScenarioEngine,
-    scenario_start_time,
-)
 
-STATIC = np.array([42.3601, -71.0589, 100.0])  # deg, deg, m
+from conftest import PVT_STATIC as STATIC
 
-
-@pytest.fixture(scope="module")
-def pvt_scene(nav):
-    g0 = scenario_start_time(nav, date2gal(DateTime(2022, 2, 20, 8, 0, 18)))
-    eng = ScenarioEngine(
-        nav, PositionProvider(llh_deg=STATIC), g0, duration_s=19.0
-    )
-    iq = []
-    for batch in eng.batches(8):
-        if batch.f_code.shape[0] != 8:
-            break  # keep a single (B=8) compile; 18.4 s is enough
-        iq.append(synth_batch_kp_host(batch, NUM_IQ_SAMPLES, engine="xla"))
-    x16 = np.concatenate(iq).reshape(-1).astype(np.int16)
-    return g0, x16
+# the shared 18.4 s scene now lives in conftest.pvt_scene (also consumed
+# by test_e2e_noise's AWGN margin tests)
 
 
 @pytest.fixture(scope="module")
