@@ -21,6 +21,7 @@ from typing import Callable, Iterator
 import numpy as np
 
 from ..constants import NUM_IQ_SAMPLES
+from ..profiling import Timer
 from ..ops.synth import TILE, prepare_device_inputs, synth_block
 from ..ops.synth_kp import (
     P_GRID,
@@ -38,6 +39,8 @@ class StreamStats:
     epochs: int = 0
     samples: int = 0
     wall_s: float = 0.0
+    # per-stage wall-clock split (host prep/dispatch, device wait, sink)
+    timer: Timer = None  # type: ignore[assignment]
 
     @property
     def samples_per_sec(self) -> float:
@@ -46,6 +49,9 @@ class StreamStats:
     @property
     def realtime_factor(self) -> float:
         return self.samples_per_sec / 2.6e6
+
+    def stage_report(self) -> str:
+        return self.timer.report() if self.timer else ""
 
 
 class StreamingSynthesizer:
@@ -84,7 +90,7 @@ class StreamingSynthesizer:
         self.block_epochs = block_epochs
         self.nsamples = nsamples  # != NUM_IQ_SAMPLES only in tests
         self.status_cb = status_cb
-        self.stats = StreamStats()
+        self.stats = StreamStats(timer=Timer())
         self._stop = False
         self._code_cache: dict = {}
         self.apply_gain = apply_gain
@@ -110,29 +116,30 @@ class StreamingSynthesizer:
             n_real = batch.f_code.shape[0]
             # pad to a fixed epoch count -> exactly one XLA compile; cache
             # the code slabs on device across blocks
-            if self.synth_engine in ("kp", "kp_pallas"):
-                inputs = prepare_kp_inputs(
-                    batch,
-                    self.nsamples,
-                    pad_epochs=self.block_epochs,
-                    code_cache=self._code_cache,
-                    apply_gain=self.apply_gain,
-                    pack_g=self.synth_engine == "kp_pallas",
-                )
-                fut = synth_block_kp(
-                    inputs,
-                    n_k=self.nsamples // P_GRID,
-                    engine="pallas" if self.synth_engine == "kp_pallas" else "xla",
-                )
-            else:
-                inputs = prepare_device_inputs(
-                    batch,
-                    self.tile,
-                    self.nsamples,
-                    pad_epochs=self.block_epochs,
-                    code_cache=self._code_cache,
-                )
-                fut = synth_block(inputs, tile=self.tile, mode=self.mode)
+            with self.stats.timer.section("host_prep+dispatch"):
+                if self.synth_engine in ("kp", "kp_pallas"):
+                    inputs = prepare_kp_inputs(
+                        batch,
+                        self.nsamples,
+                        pad_epochs=self.block_epochs,
+                        code_cache=self._code_cache,
+                        apply_gain=self.apply_gain,
+                        pack_g=self.synth_engine == "kp_pallas",
+                    )
+                    fut = synth_block_kp(
+                        inputs,
+                        n_k=self.nsamples // P_GRID,
+                        engine="pallas" if self.synth_engine == "kp_pallas" else "xla",
+                    )
+                else:
+                    inputs = prepare_device_inputs(
+                        batch,
+                        self.tile,
+                        self.nsamples,
+                        pad_epochs=self.block_epochs,
+                        code_cache=self._code_cache,
+                    )
+                    fut = synth_block(inputs, tile=self.tile, mode=self.mode)
             yield batch, fut, n_real
 
     def run(self) -> StreamStats:
@@ -150,8 +157,10 @@ class StreamingSynthesizer:
         return self.stats
 
     def _drain(self, batch, fut, n_real: int) -> None:
-        host = np.asarray(fut)[:n_real, : 2 * self.nsamples]  # blocks on device
-        self.sink.write(host)
+        with self.stats.timer.section("device_wait+fetch"):
+            host = np.asarray(fut)[:n_real, : 2 * self.nsamples]  # blocks
+        with self.stats.timer.section("sink_write"):
+            self.sink.write(host)
         self.stats.epochs += n_real
         self.stats.samples += n_real * self.nsamples
         if self.status_cb is not None:

@@ -4,9 +4,12 @@ The reference's only instrumentation is a final wall-clock print
 (reference: src/galileo-sdr.cpp:664-665).  Here:
 
 * `trace(dir)` — context manager around `jax.profiler` producing a
-  TensorBoard-loadable device trace of the synthesis kernels;
-* `Timer` — lightweight named wall-clock sections with samples/s
-  accounting, used by bench.py and the streaming executor stats.
+  TensorBoard-loadable device trace of the synthesis kernels; exposed
+  as the CLI's `--trace-dir` flag (cli.py).
+* `Timer` — lightweight named wall-clock sections; the streaming
+  executor (io/stream.py) keeps one per run, splitting each block into
+  host prep/dispatch, device wait, and sink time (printed under -v and
+  by `StreamStats.stage_report`).
 """
 
 from __future__ import annotations
