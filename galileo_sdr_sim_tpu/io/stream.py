@@ -81,9 +81,15 @@ class StreamingSynthesizer:
                 if synth_engine == "auto" and default_engine() == "pallas"
                 else "kp"
             )
-        # the factorized engines need whole (8 x 1300)-sample row cycles
-        # and implement the float carrier only
-        if nsamples % (ROWS * P_GRID) != 0 or mode == "lut512":
+        # the factorized engines need whole (8 x 1300)-sample row cycles,
+        # implement the float carrier only, and assume the sine-BOC(1,1)
+        # half-chip geometry (code_subdiv == 2); other signal models
+        # (e.g. CBOC, models/cboc.py) run on the direct engine
+        if (
+            nsamples % (ROWS * P_GRID) != 0
+            or mode == "lut512"
+            or getattr(engine.model, "code_subdiv", 2) != 2
+        ):
             synth_engine = "direct"
         self.synth_engine = synth_engine
         self.tile = tile

@@ -54,6 +54,10 @@ class E1SignalModel:
     symbol_time_ms: int = SYMBOL_TIME_MS
     symbols_per_page: int = N_SYM_PAGE
     page_seconds: int = PAGE_TRANS_TIME
+    # subcarrier sign intervals per chip; 2 = sine-BOC(1,1) (the fast
+    # (K,p)/Pallas engines assume this geometry), 12 = CBOC(6,1,1/11)
+    # (models/cboc.py; routed to the direct engine)
+    code_subdiv: int = 2
 
     # --- code banks (lazily loaded dense arrays) ----------------------
 

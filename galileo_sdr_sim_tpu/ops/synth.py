@@ -9,8 +9,10 @@ the sample index; the whole epoch is computed data-parallel:
   (code_phase, wrap_count, carrier_phase) bases (`prepare_device_inputs`),
   so on-device math is pure float32 with bounded error (< 1e-3 chip,
   < 1e-4 cycle per tile) and *no* cross-tile or cross-epoch accumulation.
-* Chips come from (MAX_CHAN, 8184) int8 BOC slabs; idle channel rows are
-  zero, so inactive slots contribute nothing without masking.
+* Chips come from (MAX_CHAN, subdiv*4092) code-value slabs supplied by
+  the signal model (int8 sine-BOC half-chips for E1 OS; float32 CBOC
+  value tables for models/cboc.py); idle channel rows are zero, so
+  inactive slots contribute nothing without masking.
 * Data/pilot symbols come from per-epoch 32-symbol windows indexed by the
   code-period wrap count.
 * Carrier: either float32 sin/cos at amplitude 250 (default — better SNR)
@@ -130,7 +132,7 @@ def _gather_codes(codes: jax.Array, icode: jax.Array) -> jax.Array:
 
 
 def synth_accum(
-    codes_b: jax.Array,  # (C, 8184) int8
+    codes_b: jax.Array,  # (C, subdiv*4092) int8 or f32
     codes_c: jax.Array,
     a: jax.Array,  # (B, C) f32 chips/sample
     fc: jax.Array,  # (B, C) f32 cycles/sample
@@ -154,7 +156,14 @@ def synth_accum(
     # one-ULP-late chip transition.
     wrap = jnp.floor(total * jnp.float32(1.0 / CA_SEQ_LEN_E1)).astype(jnp.int32)
     rem = total - jnp.float32(CA_SEQ_LEN_E1) * wrap
-    icode = jnp.clip((2.0 * rem).astype(jnp.int32), 0, 2 * CA_SEQ_LEN_E1 - 1)
+    # subcarrier subdivisions per chip, inferred from the code-table
+    # width: 2 for the sine-BOC(1,1) half-chip banks, 12 for the CBOC
+    # (6,1,1/11) value tables (models/cboc.py) — the signal model picks
+    # the waveform purely through the tables it supplies
+    subdiv = codes_b.shape[1] // CA_SEQ_LEN_E1
+    icode = jnp.clip(
+        (float(subdiv) * rem).astype(jnp.int32), 0, codes_b.shape[1] - 1
+    )
 
     chip_b = _gather_codes(codes_b, icode)
     chip_c = _gather_codes(codes_c, icode)

@@ -210,6 +210,11 @@ def prepare_kp_inputs(
     if pad_epochs is not None and batch.f_code.shape[0] != pad_epochs:
         batch = _pad_batch(batch, pad_epochs)
     assert nsamples % (ROWS * P_GRID) == 0, nsamples
+    assert batch.codes_b.shape[1] == ROWS * COLS, (
+        "the (K,p) engines assume the sine-BOC(1,1) half-chip geometry; "
+        "other signal models (e.g. CBOC) use the direct engine "
+        f"(got table width {batch.codes_b.shape[1]})"
+    )
 
     a = batch.f_code * DELT  # chips/sample, float64
     mu = 2.0 * a * P_GRID - COLS  # half-chips of drift per K step

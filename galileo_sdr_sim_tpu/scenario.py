@@ -493,8 +493,11 @@ class ScenarioEngine:
     def _pack(self, tabs: list[EpochStateTable]) -> EpochBatch:
         prn = tabs[0].prn
         boc_len = self.model.boc_length
-        cb = np.zeros((MAX_CHAN, boc_len), np.int8)
-        cc = np.zeros((MAX_CHAN, boc_len), np.int8)
+        # dtype follows the model's tables: int8 ±1 half-chips for
+        # sine-BOC, float32 waveform values for CBOC (models/cboc.py)
+        code_dtype = self.model.data_codes.dtype
+        cb = np.zeros((MAX_CHAN, boc_len), code_dtype)
+        cc = np.zeros((MAX_CHAN, boc_len), code_dtype)
         active = prn > 0
         if np.any(active):
             cb[active] = self.model.data_codes[prn[active] - 1]
