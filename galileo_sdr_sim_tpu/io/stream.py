@@ -27,6 +27,7 @@ from ..ops.synth_kp import (
     P_GRID,
     ROWS,
     default_engine,
+    mu_in_envelope,
     prepare_kp_inputs,
     synth_block_kp,
 )
@@ -99,6 +100,7 @@ class StreamingSynthesizer:
         self.stats = StreamStats(timer=Timer())
         self._stop = False
         self._code_cache: dict = {}
+        self._direct_cache: dict = {}  # separate: the fallback path's slabs
         self.apply_gain = apply_gain
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every  # epochs between snapshots
@@ -123,7 +125,16 @@ class StreamingSynthesizer:
             # pad to a fixed epoch count -> exactly one XLA compile; cache
             # the code slabs on device across blocks
             with self.stats.timer.section("host_prep+dispatch"):
-                if self.synth_engine in ("kp", "kp_pallas"):
+                use_kp = self.synth_engine in ("kp", "kp_pallas")
+                if use_kp and not mu_in_envelope(batch.f_code):
+                    # a live-position teleport pushed one epoch's
+                    # pseudorange-rate-derived code Doppler outside the
+                    # factorized engines' envelope (ops/synth_kp.MU_MAX);
+                    # synthesize this batch with the direct engine, which
+                    # is exact for any rate (bounded samples instead of
+                    # out-of-model garbage)
+                    use_kp = False
+                if use_kp:
                     inputs = prepare_kp_inputs(
                         batch,
                         self.nsamples,
@@ -143,7 +154,7 @@ class StreamingSynthesizer:
                         self.tile,
                         self.nsamples,
                         pad_epochs=self.block_epochs,
-                        code_cache=self._code_cache,
+                        code_cache=self._direct_cache,
                     )
                     fut = synth_block(inputs, tile=self.tile, mode=self.mode)
             yield batch, fut, n_real

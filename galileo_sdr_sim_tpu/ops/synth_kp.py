@@ -63,6 +63,21 @@ ROWS = 8  # BOC sequence rows: 8184 = 8*1023
 COLS = 1023
 K_EPOCH = NUM_IQ_SAMPLES // P_GRID  # 200
 W_PACK = 32  # 2 codes x 2 shifts x 8 rows
+# code-Doppler envelope: the delta/tap machinery assumes
+# |mu| = |f_code/1000 - 1023| <= ~3e-3 half-chips per K row (true for
+# any real carrier Doppler, |fd| <= ~4.6 kHz <-> ~Mach-4 receiver
+# dynamics).  A live-position TELEPORT makes the pseudorange-rate-
+# derived Doppler of one transition epoch exceed this (the reference
+# derives rate the same way, gal-sig.cpp:311-318, and would emit one
+# mega-Doppler epoch too); the streaming executor routes such epochs
+# to the direct engine, which is exact for any rate.
+MU_MAX = 3e-3
+
+
+def mu_in_envelope(f_code: np.ndarray) -> bool:
+    """True when every epoch-channel's code-Doppler drift fits the
+    factorized engines' delta/tap design envelope."""
+    return bool(np.abs(f_code / 1000.0 - COLS).max() <= MU_MAX)
 
 
 def _pack_codes(codes_b: np.ndarray, codes_c: np.ndarray) -> np.ndarray:

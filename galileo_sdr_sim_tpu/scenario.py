@@ -478,6 +478,15 @@ class ScenarioEngine:
     def batches(self, block_epochs: int, start: int = 1) -> Iterator[EpochBatch]:
         """Group consecutive epochs into device-sized batches; a batch is
         cut early whenever the channel->PRN mapping changes."""
+        if block_epochs == 1:
+            # no map-change lookahead needed for single-epoch batches;
+            # yielding immediately keeps the interactive (-i) pipeline
+            # one epoch tighter: a UDP 7533 update seen while block k
+            # drains reaches emitted samples at block k+2 (0.2 s — the
+            # reference's FIFO depth, constants.h:82-83)
+            for tab in self.epochs(start):
+                yield self._pack([tab])
+            return
         pending: list[EpochStateTable] = []
         for tab in self.epochs(start):
             if pending and (

@@ -259,3 +259,102 @@ def test_live_position_latency_one_epoch(nav, g0):
         )
     finally:
         servers.stop()
+
+
+# --------------------------------------------------------------------
+# Live loop closed through synthesis: UDP 7533 -> emitted samples
+# --------------------------------------------------------------------
+def test_live_position_reaches_samples_b1(nav, g0):
+    """Close the interactive (-i) loop through the production pipeline:
+    a UDP 7533 position update sent while block k drains must be
+    reflected in the EMITTED SAMPLES of block k+2 at the latest (B=1
+    pipelines one block ahead, so k+1 may still carry the old position
+    -- the 0.2 s budget of the reference's 0.2 s FIFO depth,
+    src/galileo-sdr.cpp:443 + constants.h:82-83).  Sample-level
+    evidence: PCPS acquisition on the block recovers the transmitted
+    code phase, which the ~110 km move shifts by hundreds of chips."""
+    import struct
+
+    from galileo_sdr_sim_tpu.constants import CA_SEQ_LEN_E1
+    from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
+    from galileo_sdr_sim_tpu.io.udp import UdpServers
+    from galileo_sdr_sim_tpu.rx_track import acquire, iq_to_complex
+
+    moved = np.array([43.0, -70.0, 50.0])
+    ports = (17633, 17631, 17632)
+    servers = UdpServers(STATIC, ports=ports).start()
+    blocks, batches = [], []
+
+    class _Collect:
+        def write(self, b):
+            blocks.append(np.asarray(b).reshape(-1))
+
+        def close(self):
+            pass
+
+    def cb(batch, stats):
+        batches.append(batch)
+        if stats.epochs == 1:  # during block 1's drain: send the move
+            sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            sock.sendto(struct.pack("<3d", *moved), ("127.0.0.1", ports[0]))
+            sock.close()
+            deadline = time.monotonic() + 5.0
+            while time.monotonic() < deadline:
+                if np.allclose(servers.state.llh, moved):
+                    return
+                time.sleep(0.01)
+            raise AssertionError("UDP update not received")
+
+    try:
+        eng = ScenarioEngine(
+            nav, PositionProvider(live=lambda: servers.state.llh),
+            g0, duration_s=0.5,
+        )
+        StreamingSynthesizer(
+            eng, _Collect(), synth_engine="kp", block_epochs=1, status_cb=cb
+        ).run()
+    finally:
+        servers.stop()
+
+    assert len(blocks) >= 4
+    # strongest channel of the initial epoch
+    ch = int(np.argmax(batches[0].prn > 0))
+    prn = int(batches[0].prn[ch])
+
+    def circ(a, b):
+        d = (a - b) % CA_SEQ_LEN_E1
+        return min(d, CA_SEQ_LEN_E1 - d)
+
+    # block 1 (pre-move): acquisition recovers the transmitted code phase
+    a1 = acquire(iq_to_complex(blocks[0]), prn)
+    assert a1.metric > 8.0
+    tx1 = float(batches[0].code_phase0[0, ch]) % CA_SEQ_LEN_E1
+    assert circ(a1.code_phase, tx1) < 1.0, (a1.code_phase, tx1)
+
+    # block 3 = epoch of pickup (<= 0.2 s after the update): the
+    # scenario already uses the moved position...
+    ref = ScenarioEngine(
+        nav, PositionProvider(llh_deg=STATIC), g0, duration_s=0.5
+    )
+    ref_tabs = list(ref.epochs())
+    stay3 = float(ref_tabs[2].code_phase0[ch]) % CA_SEQ_LEN_E1
+    tx3 = float(batches[2].code_phase0[0, ch]) % CA_SEQ_LEN_E1
+    assert circ(tx3, stay3) > 20.0, (tx3, stay3)
+    # ...and the transition epoch's samples stay BOUNDED: the 110 km
+    # teleport makes its pseudorange-rate-derived Doppler exceed the
+    # (K,p) engines' |mu| envelope, so the executor must fall back to
+    # the direct engine for that block (one epoch of extreme but
+    # in-model Doppler, exactly what the reference's rate derivation
+    # would transmit) instead of emitting out-of-envelope garbage.
+    rms = float(np.sqrt(np.mean(blocks[2].astype(np.float64) ** 2)))
+    assert rms < 2000.0, rms
+
+    # block 4 (rate settled at the new position): sample-level proof -
+    # acquisition on the emitted samples recovers the MOVED geometry,
+    # far from the no-move prediction
+    a4 = acquire(iq_to_complex(blocks[3]), prn)
+    tx4 = float(batches[3].code_phase0[0, ch]) % CA_SEQ_LEN_E1
+    stay4 = float(ref_tabs[3].code_phase0[ch]) % CA_SEQ_LEN_E1
+    assert a4.metric > 8.0
+    assert circ(a4.code_phase, tx4) < 1.0, (a4.code_phase, tx4)
+    assert circ(a4.code_phase, stay4) > 20.0, (a4.code_phase, stay4)
