@@ -117,16 +117,50 @@ def main() -> None:
 
     # --- on-chip Pallas vs XLA parity (docs/kernel_design.md claim) ----
     # run at B=8 — the bit-identity claim is shape-independent and the
-    # full-B XLA-engine compile would dominate bench wall time
+    # full-B XLA-engine compile would dominate bench wall time.  Checked
+    # at the scenario seed plus adversarial perturbations (half-chip
+    # boundary phases, carrier frac-wrap, negated drift) — same shapes,
+    # so the extra cases cost no recompiles.  The full multi-shape sweep
+    # is tools/tpu_parity_check.py.
     parity_ok = None
+    parity_cases = 0
     if engine == "pallas":
         pinputs = {
             k: (v if k in ("vpack", "vpack_rs") else v[:8])
             for k, v in inputs.items()
         }
-        out_p = np.asarray(synth_block_kp(pinputs, n_k=K_EPOCH, engine="pallas"))
-        out_x = np.asarray(synth_block_kp(pinputs, n_k=K_EPOCH, engine="xla"))
-        parity_ok = bool(np.array_equal(out_p, out_x))
+        from galileo_sdr_sim_tpu.ops.synth_kp import COLS, P_GRID
+
+        rng = np.random.default_rng(7)
+        B8, C8 = np.asarray(pinputs["cp0"]).shape
+        cases = [pinputs]
+        for mode in range(3):
+            inp = {k: np.asarray(v) for k, v in pinputs.items()
+                   if k not in ("vpack", "vpack_rs")}
+            cp0 = rng.uniform(0, 4 * COLS, (B8, C8)).astype(np.float32)
+            if mode == 1:  # exact half-chip boundaries
+                cp0 = np.round(cp0 * 2).astype(np.float32) / np.float32(2)
+            inp["cp0"] = cp0
+            inp["carr0"] = (
+                np.nextafter(np.ones((B8, C8), np.float32), 0)
+                if mode == 2
+                else rng.uniform(0, 1, (B8, C8)).astype(np.float32)
+            )
+            sign = -1.0 if mode % 2 else 1.0
+            mu = (sign * rng.uniform(5e-4, 3e-3, (B8, C8))).astype(np.float32)
+            inp["mu"] = mu
+            inp["two_a"] = (
+                (mu.astype(np.float64) + COLS) / P_GRID
+            ).astype(np.float32)
+            inp["vpack"] = pinputs["vpack"]
+            inp["vpack_rs"] = pinputs["vpack_rs"]
+            cases.append(inp)
+        parity_ok = True
+        for inp in cases:
+            out_p = np.asarray(synth_block_kp(inp, n_k=K_EPOCH, engine="pallas"))
+            out_x = np.asarray(synth_block_kp(inp, n_k=K_EPOCH, engine="xla"))
+            parity_cases += 1
+            parity_ok = parity_ok and bool(np.array_equal(out_p, out_x))
 
     # --- B=1 low-latency (interactive -i) call rate --------------------
     # the CLI drops to block_epochs=1 in interactive mode so a UDP 7533

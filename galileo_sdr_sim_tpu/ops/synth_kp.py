@@ -372,8 +372,23 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
     )
 
     amp = jnp.float32(LUT_AMPLITUDE)
-    i_acc = jnp.sum(m * cis_r, axis=1) * amp  # (B, kappa, rho, p)
-    q_acc = jnp.sum(m * cis_i, axis=1) * amp
+    # explicit left-to-right channel accumulation (NOT jnp.sum): a Reduce
+    # op's order is an XLA scheduling choice that varies with shape, and
+    # a differently-associated f32 sum lands 1 ulp off the Pallas
+    # kernel's strictly-ascending per-channel adds — enough to flip
+    # trunc() at integer-tie accumulator values.  An unrolled add chain
+    # is IEEE-evaluated in program order (XLA does not reassociate
+    # floats), so the engines stay bit-identical at every shape
+    # (tools/tpu_parity_check.py caught the n_k=40 divergence).
+    vi = m * cis_r  # (B, C, kappa, rho, p)
+    vq = m * cis_i
+    i_acc = vi[:, 0]
+    q_acc = vq[:, 0]
+    for c in range(1, C):
+        i_acc = i_acc + vi[:, c]
+        q_acc = q_acc + vq[:, c]
+    i_acc = i_acc * amp  # (B, kappa, rho, p)
+    q_acc = q_acc * amp
 
     iq = jnp.stack([i_acc, q_acc], axis=-1)
     return iq.reshape(B, n_k * P_GRID, 2)
