@@ -162,6 +162,36 @@ def main() -> None:
             parity_cases += 1
             parity_ok = parity_ok and bool(np.array_equal(out_p, out_x))
 
+    # --- CBOC(6,1,1/11) rate at the production shape -------------------
+    # the real OS modulation (models/cboc.py) runs on the same fused
+    # kernel via the factorized weight branch (ops/synth_kp.py cboc);
+    # ~10 extra VPU ops per channel-sample instead of the direct
+    # engine's gather-bound path
+    from galileo_sdr_sim_tpu.models.cboc import ALPHA, BETA
+
+    cboc_inputs = dict(inputs)
+    cboc_inputs["cboc_ab"] = jnp.asarray([ALPHA, BETA], jnp.float32)
+
+    @jax.jit
+    def chained_cboc(inputs):
+        def body(i, carry):
+            inp = dict(inputs)
+            inp["carr0"] = inputs["carr0"] + carry * 1e-9
+            inp["cp0"] = inputs["cp0"] + carry * 1e-9
+            out = synth_block_kp(inp, n_k=K_EPOCH, engine=engine)
+            return carry + jnp.sum(
+                out[:, ::2626].astype(jnp.float32)
+            ) * 1e-12
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    float(chained_cboc(cboc_inputs))
+    best_cboc = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained_cboc(cboc_inputs))
+        best_cboc = min(best_cboc, (time.perf_counter() - t0) / R)
+    cboc_sps = B * NUM_IQ_SAMPLES / best_cboc
+
     # --- B=1 low-latency (interactive -i) call rate --------------------
     # the CLI drops to block_epochs=1 in interactive mode so a UDP 7533
     # position update reaches emitted samples within one 0.1 s epoch;
@@ -320,6 +350,8 @@ def main() -> None:
                 "unit": "samples/s",
                 "vs_baseline": sps / 2.6e6,
                 "parity_ok": parity_ok,
+                "parity_cases": parity_cases,
+                "cboc_samples_per_sec": cboc_sps,
                 "fix_error_m": fix_error_m,
                 "n_sats_decoded": n_sats_decoded,
                 "b1_samples_per_sec": b1_sps,

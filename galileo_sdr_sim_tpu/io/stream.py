@@ -82,14 +82,18 @@ class StreamingSynthesizer:
                 if synth_engine == "auto" and default_engine() == "pallas"
                 else "kp"
             )
-        # the factorized engines need whole (8 x 1300)-sample row cycles,
-        # implement the float carrier only, and assume the sine-BOC(1,1)
-        # half-chip geometry (code_subdiv == 2); other signal models
-        # (e.g. CBOC, models/cboc.py) run on the direct engine
+        # the factorized engines need whole (8 x 1300)-sample row cycles
+        # and implement the float carrier only.  They handle the
+        # sine-BOC(1,1) half-chip geometry (code_subdiv == 2) AND the
+        # 12-grid CBOC(6,1,1/11) tables (models/cboc.py) — CBOC factors
+        # into the sine-BOC chip planes times a pointwise (alpha, beta,
+        # tau) weight computed in-engine (ops/synth_kp.py cboc branch),
+        # so it runs at the fused-kernel rate instead of the direct
+        # engine's gather-bound rate.  Other geometries route direct.
         if (
             nsamples % (ROWS * P_GRID) != 0
             or mode == "lut512"
-            or getattr(engine.model, "code_subdiv", 2) != 2
+            or getattr(engine.model, "code_subdiv", 2) not in (2, 12)
         ):
             synth_engine = "direct"
         self.synth_engine = synth_engine

@@ -20,13 +20,17 @@ phase-aligned with the sine-BOC bank and a sine-BOC receiver correlates
 at a = sqrt(10/11) of full power (-0.4 dB) — validated in
 tests/test_cboc.py.
 
-Engine note: the factorized (K,p)/Pallas engines are sine-BOC-geometry
-specific (8184 half-chips); the streaming executor automatically routes
-non-2-subdivision models to the direct engine (ops/synth.py), whose
-chip fetch infers the subdivision count from the table width.  At
-2.6 Msps the 6.138 MHz sc6 component is above Nyquist — pointwise
-sampling is the honest representation at this rate (a band-limited
-front end would suppress it; the receiver-facing sc1 term is exact).
+Engine note: the factorized (K,p)/Pallas engines run CBOC at the fused-
+kernel rate.  The 12-grid tables factor exactly over the sine-BOC
+half-chip banks — V(n) = halfchip(n)·(a ± b·τ(n)) with
+τ = (−1)^(halfchip_index + floor(6·frac)) — so prepare_kp_inputs
+derives the ±1 banks and (a, b) from these tables and the engines apply
+τ as ~10 extra VPU ops per channel-sample (ops/synth_kp.py cboc
+branch); the direct engine (ops/synth.py) consumes the tables verbatim
+as the any-geometry reference path.  At 2.6 Msps the 6.138 MHz sc6
+component is above Nyquist — pointwise sampling is the honest
+representation at this rate (a band-limited front end would suppress
+it; the receiver-facing sc1 term is exact).
 """
 
 from __future__ import annotations

@@ -225,11 +225,34 @@ def prepare_kp_inputs(
     if pad_epochs is not None and batch.f_code.shape[0] != pad_epochs:
         batch = _pad_batch(batch, pad_epochs)
     assert nsamples % (ROWS * P_GRID) == 0, nsamples
-    assert batch.codes_b.shape[1] == ROWS * COLS, (
-        "the (K,p) engines assume the sine-BOC(1,1) half-chip geometry; "
-        "other signal models (e.g. CBOC) use the direct engine "
-        f"(got table width {batch.codes_b.shape[1]})"
-    )
+    codes_b, codes_c = batch.codes_b, batch.codes_c
+    cboc_ab = None
+    if codes_b.shape[1] == 6 * ROWS * COLS:
+        # CBOC(6,1) 12-grid value tables (models/cboc.py) factor exactly
+        # over the sine-BOC half-chip banks:
+        #   V(n) = halfchip(n) * (alpha +- beta * tau(n)),
+        #   tau(n) = (-1)^(H2(n) + floor(6 * frac(2 c(n))))
+        # (sc6 flips sign every 1/12 chip; within a half-chip its sign
+        # relative to sc1 alternates from a parity fixed by the global
+        # half-chip index).  So the (K,p) engines run CBOC by deriving
+        # the +-1 banks and the (alpha, beta) weights from the model's
+        # own tables and applying tau as ~10 extra VPU ops per
+        # channel-sample — no 12-grid table, no sample-rate gathers.
+        # |table[12h]| = alpha + beta and |table[12h+1]| = alpha - beta
+        # recover the weights; signs at sub-position 0 recover the banks.
+        act = np.nonzero(np.any(codes_b, axis=1))[0]
+        r0 = int(act[0]) if act.size else 0
+        v0 = abs(float(codes_b[r0, 0]))
+        v1 = abs(float(codes_b[r0, 1]))
+        cboc_ab = np.array([(v0 + v1) / 2.0, (v0 - v1) / 2.0], np.float32)
+        codes_b = np.sign(codes_b[:, ::6]).astype(np.int8)
+        codes_c = np.sign(codes_c[:, ::6]).astype(np.int8)
+    else:
+        assert codes_b.shape[1] == ROWS * COLS, (
+            "the (K,p) engines support sine-BOC(1,1) half-chip tables "
+            "and 12-grid CBOC value tables; other geometries use the "
+            f"direct engine (got table width {codes_b.shape[1]})"
+        )
 
     a = batch.f_code * DELT  # chips/sample, float64
     mu = 2.0 * a * P_GRID - COLS  # half-chips of drift per K step
@@ -237,14 +260,14 @@ def prepare_kp_inputs(
     fc_k = fc * P_GRID
     fc_k = fc_k - np.floor(fc_k)
 
-    key = (batch.prn.tobytes(), pack_g)
+    key = (batch.prn.tobytes(), pack_g, batch.codes_b.shape[1])
     if code_cache is not None and code_cache.get("key") == key:
         vpack = code_cache["vpack"]
         vpack_rs = code_cache.get("vpack_rs")
     else:
-        vpack = jnp.asarray(_pack_codes(batch.codes_b, batch.codes_c))
+        vpack = jnp.asarray(_pack_codes(codes_b, codes_c))
         vpack_rs = (
-            jnp.asarray(_pack_codes_rs(batch.codes_b, batch.codes_c))
+            jnp.asarray(_pack_codes_rs(codes_b, codes_c))
             if pack_g else None
         )
         if code_cache is not None:
@@ -272,6 +295,8 @@ def prepare_kp_inputs(
     )
     if pack_g:
         out["vpack_rs"] = vpack_rs  # (C, 160, 11904) int8
+    if cboc_ab is not None:
+        out["cboc_ab"] = jnp.asarray(cboc_ab)  # (2,) f32 (alpha, beta)
     return out
 
 
@@ -340,7 +365,8 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
     # --- delta(K, p) = floor(psi + mu*K) in {0, 1} --------------------
     k_full = ROWS * kap[None, None, :, None] + rho[None, None, None, :]  # (1,1,kap,rho)
     muk = mu[..., None] * k_full  # (B, C, kappa, rho)
-    delta = jnp.floor(psi[:, :, None, None, :] + muk[..., None])  # (B,C,kap,rho,p)
+    t_kp = psi[:, :, None, None, :] + muk[..., None]  # (B,C,kap,rho,p)
+    delta = jnp.floor(t_kp)
 
     chip_b = a0b[:, :, None] + delta * (a1b - a0b)[:, :, None]
     chip_c = a0c[:, :, None] + delta * (a1c - a0c)[:, :, None]
@@ -349,7 +375,32 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
     d_val = d_lo + bsel * (d_hi - d_lo)
     s_val = s_lo + bsel * (s_hi - s_lo)
 
-    m = chip_b * d_val - chip_c * s_val  # (B, C, kappa, rho, p)
+    if "cboc_ab" in inputs:
+        # CBOC(6,1,1/11): weight each component by (alpha +- beta*tau),
+        # tau = (-1)^(H + j6) with H = 1023*K + gb + delta the actual
+        # half-chip flat index (1023 odd and 8184 even, so parity(H) =
+        # parity(K) ^ parity(gb) ^ delta, and parity(K) = parity(rho)
+        # since K = 8*kappa + rho), and j6 = floor(6 * frac) the sc6
+        # sub-position within the half-chip.  All terms are exact small
+        # integers in f32; op order mirrors the Pallas kernel exactly
+        # (bit-identical engines on TPU).
+        ab = inputs["cboc_ab"]
+        frac = t_kp - delta
+        j6 = jnp.floor(jnp.float32(6.0) * frac)
+        pgb = gb - 2.0 * jnp.floor(gb * 0.5)  # (B, C, p)
+        kpar = rho - 2.0 * jnp.floor(rho * 0.5)  # (rho,)
+        par = (
+            pgb[:, :, None, None, :]
+            + kpar[None, None, None, :, None]
+            + delta
+            + j6
+        )
+        tau = 1.0 - 2.0 * (par - 2.0 * jnp.floor(par * 0.5))
+        wb = ab[0] + ab[1] * tau
+        wc = ab[0] - ab[1] * tau
+        m = (chip_b * wb) * d_val - (chip_c * wc) * s_val
+    else:
+        m = chip_b * d_val - chip_c * s_val  # (B, C, kappa, rho, p)
 
     # --- rank-1 carrier ------------------------------------------------
     ph_k = inputs["fc_k"][..., None, None] * k_full  # (B, C, kappa, rho)

@@ -67,14 +67,14 @@ _TWO_PI = 2.0 * np.pi
 
 # planes scratch rows per channel
 _PL = {"a0b": 0, "dab": 8, "a0c": 16, "dac": 24, "b0": 32, "db": 40,
-       "psi": 48, "w8": 49, "cpr": 50, "cpi": 51}
-_PL_ROWS = 52
+       "psi": 48, "w8": 49, "cpr": 50, "cpi": 51, "pgb": 52}
+_PL_ROWS = 53
 
 
 def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
-               fc_s, fck_s, sym_s, pil_s, tab_hbm,
+               fc_s, fck_s, sym_s, pil_s, ab_s, tab_hbm,
                out_i, out_q, planes, win, sems, *, C: int, kap_tile: int,
-               emit_i16: bool):
+               emit_i16: bool, cboc: bool):
     b = pl.program_id(0)
     kap0 = pl.program_id(1) * kap_tile
     amp = jnp.float32(LUT_AMPLITUDE)
@@ -159,7 +159,13 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             planes[c, 49:50] = rot(w8)
             planes[c, 50:51] = rot(jnp.cos(ang_p))
             planes[c, 51:52] = rot(jnp.sin(ang_p))
+            if cboc:
+                # half-chip-base parity for the sc6 weight (see the
+                # cboc branch in synth_kp.synth_accum_kp); gb is an
+                # exact integer in f32 so the mod-2 is exact
+                planes[c, 52:53] = rot(gb - 2.0 * jnp.floor(gb * 0.5))
 
+    rho_par = rho8 - 2.0 * jnp.floor(rho8 * 0.5)  # (8, 1) K parity
     for kt in range(kap_tile):
         kap = kap0 + kt
         k8 = jnp.float32(ROWS) * kap.astype(jnp.float32) + rho8  # (8, 1)
@@ -172,7 +178,8 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             a0b_c, dab_c = planes[c, 0:8], planes[c, 8:16]
             a0c_c, dac_c = planes[c, 16:24], planes[c, 24:32]
             b0_c, db_c = planes[c, 32:40], planes[c, 40:48]
-            delta = jnp.floor(psi_c + mu_s[b, c] * k8)  # (8, P_PAD)
+            t_kp = psi_c + mu_s[b, c] * k8  # (8, P_PAD)
+            delta = jnp.floor(t_kp)
             chip_b = a0b_c + delta * dab_c
             chip_c = a0c_c + delta * dac_c
             bsel = b0_c + delta * db_c
@@ -184,7 +191,19 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             s_df = (s1 + w8_c * (s2 - s1)) - s_lo
             d_val = d_lo + bsel * d_df
             s_val = s_lo + bsel * s_df
-            m = chip_b * d_val - chip_c * s_val
+            if cboc:
+                # tau = (-1)^(parity(gb) + parity(K) + delta + j6); op
+                # order mirrors synth_kp.synth_accum_kp's cboc branch
+                # exactly (bit-identical engines on TPU)
+                frac = t_kp - delta
+                j6 = jnp.floor(jnp.float32(6.0) * frac)
+                par = planes[c, 52:53] + rho_par + delta + j6
+                tau = 1.0 - 2.0 * (par - 2.0 * jnp.floor(par * 0.5))
+                wb = ab_s[0] + ab_s[1] * tau
+                wc = ab_s[0] - ab_s[1] * tau
+                m = (chip_b * wb) * d_val - (chip_c * wc) * s_val
+            else:
+                m = chip_b * d_val - chip_c * s_val
             # rank-1 carrier: K factor computed on an (8, 1) column
             ph_k = fck_s[b, c] * k8
             ph_k = ph_k - jnp.floor(ph_k)
@@ -253,6 +272,13 @@ def synth_accum_kp_pallas(
     o128 = (o // 128) * 128
     phase = o - o128
 
+    cboc = "cboc_ab" in inputs
+    ab = (
+        inputs["cboc_ab"].astype(jnp.float32)
+        if cboc
+        else jnp.zeros((2,), jnp.float32)
+    )
+
     sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     out_spec = pl.BlockSpec(
         (1, ROWS * kap_tile, P_PAD), lambda b, kap: (b, kap, 0),
@@ -262,10 +288,11 @@ def synth_accum_kp_pallas(
     f32 = lambda k: inputs[k].astype(jnp.float32)  # noqa: E731
     out_i, out_q = pl.pallas_call(
         functools.partial(
-            _kernel_v5, C=C, kap_tile=kap_tile, emit_i16=emit == "int16"
+            _kernel_v5, C=C, kap_tile=kap_tile, emit_i16=emit == "int16",
+            cboc=cboc,
         ),
         grid=(B, n_kap // kap_tile),
-        in_specs=[sspec()] * 12 + [
+        in_specs=[sspec()] * 13 + [
             pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
         ],
         out_specs=(out_spec, out_spec),
@@ -283,7 +310,7 @@ def synth_accum_kp_pallas(
         f32("cp0"), f32("two_a"), f32("mu"), g0.astype(jnp.float32),
         o128.astype(jnp.int32), phase.astype(jnp.int32),
         r.astype(jnp.float32), f32("carr0"), f32("fc"), f32("fc_k"),
-        f32("sym_win"), f32("pilot_win"),
+        f32("sym_win"), f32("pilot_win"), ab,
         inputs["vpack_rs"],
     )
 

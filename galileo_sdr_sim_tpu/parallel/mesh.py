@@ -128,23 +128,29 @@ def synth_batch_sharded(
 # --- factorized (K,p) engine sharding (production path) ---------------
 
 
-def sharded_kp_fn(mesh: Mesh, n_k: int, engine: str = "xla"):
+def sharded_kp_fn(mesh: Mesh, n_k: int, engine: str = "xla",
+                  cboc: bool = False):
     """Mesh-sharded factorized synthesis: epochs over 'time', channels
     over 'sat'; per-device partial channel sums combined with a psum over
     ICI, exactly the reference's i_acc accumulation as a collective.
 
     engine='pallas' runs the fused VMEM kernel per shard (TPU meshes);
-    'xla' runs everywhere (the CPU dry-run mesh uses it)."""
+    'xla' runs everywhere (the CPU dry-run mesh uses it).  cboc=True
+    threads the replicated (alpha, beta) CBOC weights through to the
+    engines (ops/synth_kp.py cboc branch)."""
     from ..ops.synth_kp import accum_kp
 
     table_key = "vpack_rs" if engine == "pallas" else "vpack"
 
-    def local_step(cp0, two_a, mu, carr0, fc, fc_k, sym_win, pilot_win, vpack):
+    def local_step(cp0, two_a, mu, carr0, fc, fc_k, sym_win, pilot_win,
+                   vpack, *ab):
         inputs = {
             "cp0": cp0, "two_a": two_a, "mu": mu, "carr0": carr0,
             "fc": fc, "fc_k": fc_k, "sym_win": sym_win,
             "pilot_win": pilot_win, table_key: vpack,
         }
+        if ab:
+            inputs["cboc_ab"] = ab[0]
         acc = accum_kp(inputs, n_k=n_k, engine=engine)
         acc = jax.lax.psum(acc, axis_name="sat")
         return jnp.trunc(acc).astype(jnp.int16)
@@ -154,6 +160,8 @@ def sharded_kp_fn(mesh: Mesh, n_k: int, engine: str = "xla"):
                 P("time", "sat", None),  # sym_win
                 P("time", "sat", None),  # pilot_win
                 P("sat", None, None))    # vpack / vpack_rs
+    if cboc:
+        in_specs = in_specs + (P(None),)  # replicated (alpha, beta)
     out_spec = P("time", None, None)
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which the vma checker (jax >= 0.5 shard_map) rejects
@@ -180,6 +188,9 @@ def shard_kp_inputs(inputs: dict, mesh: Mesh, engine: str = "xla") -> tuple:
     table_key = "vpack_rs" if engine == "pallas" else "vpack"
     order = KP_ORDER + (table_key,)
     specs[table_key] = P("sat", None, None)
+    if "cboc_ab" in inputs:
+        order = order + ("cboc_ab",)
+        specs["cboc_ab"] = P(None)
     return tuple(
         jax.device_put(inputs[k], NamedSharding(mesh, specs[k])) for k in order
     )
@@ -207,6 +218,7 @@ def synth_batch_kp_sharded(
     assert C % n_sat == 0, f"channels {C} not divisible by sat axis {n_sat}"
     assert B % n_time == 0, f"epochs {B} not divisible by time axis {n_time}"
 
-    fn = sharded_kp_fn(mesh, n_k=nsamples // P_GRID, engine=engine)
+    fn = sharded_kp_fn(mesh, n_k=nsamples // P_GRID, engine=engine,
+                       cboc="cboc_ab" in inputs)
     out = fn(*shard_kp_inputs(inputs, mesh, engine=engine))  # (B, n, 2)
     return np.asarray(out).reshape(out.shape[0], -1)[:, : 2 * nsamples]

@@ -50,6 +50,25 @@ def test_pallas_matches_xla_engine_interpret(batch_1s):
     np.testing.assert_allclose(out[~mismatch], ref[~mismatch], atol=1e-2)
 
 
+def test_pallas_matches_xla_engine_cboc_interpret(batch_1s):
+    """The CBOC weight branch (tau / alpha / beta, ops/synth_kp.py) runs
+    the same op order in both engines; same interpreter tolerance class
+    as the sine-BOC case."""
+    from galileo_sdr_sim_tpu.models.cboc import ALPHA, BETA
+
+    n_k = ROWS
+    inputs = dict(_small_inputs(batch_1s))
+    inputs["cboc_ab"] = jnp.asarray([ALPHA, BETA], jnp.float32)
+    ref = np.asarray(jax.jit(
+        lambda i: synth_accum_kp(i, n_k=n_k))(inputs))
+    out = np.asarray(synth_accum_kp_pallas(inputs, n_k=n_k, interpret=True))
+    # CBOC has 12 transitions/chip (vs sine-BOC's 2), so the boundary-
+    # adjacent timing-ULP fraction scales accordingly
+    mismatch = np.abs(out - ref) > 1e-2
+    assert mismatch.mean() < 6e-3, mismatch.mean()
+    np.testing.assert_allclose(out[~mismatch], ref[~mismatch], atol=1e-2)
+
+
 def test_int16_emit_matches_f32_emit(batch_1s):
     """emit="int16" must equal the trunc-cast of the f32 accumulator —
     the in-kernel quantization is the same (short) cast the XLA path

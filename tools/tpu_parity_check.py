@@ -120,20 +120,29 @@ def main() -> int:
     rng = np.random.default_rng(20260820)
     cases = 0
     failures = []
-    for B, n_k in SHAPES:
+    for B, n_k, cboc in [s + (False,) for s in SHAPES] + [(8, 40, True)]:
         inputs = {
             k: (v if k in ("vpack", "vpack_rs") else v[:B])
             for k, v in base.items()
         }
+        if cboc:
+            # the CBOC weight branch (synth_kp.py) adds tau/alpha/beta
+            # ops to BOTH engines; check it stays bit-identical too
+            from galileo_sdr_sim_tpu.models.cboc import ALPHA, BETA
+
+            inputs["cboc_ab"] = jnp.asarray([ALPHA, BETA], jnp.float32)
         for seed in range(n_seeds):
             inp = perturb(inputs, rng, seed) if seed else inputs
+            if cboc:
+                inp["cboc_ab"] = inputs["cboc_ab"]
             out_p = np.asarray(synth_block_kp(inp, n_k=n_k, engine="pallas"))
             out_x = np.asarray(synth_block_kp(inp, n_k=n_k, engine="xla"))
             cases += 1
             if not np.array_equal(out_p, out_x):
                 nbad = int(np.sum(out_p != out_x))
                 failures.append(
-                    {"B": B, "n_k": n_k, "seed": seed, "mismatches": nbad}
+                    {"B": B, "n_k": n_k, "cboc": cboc, "seed": seed,
+                     "mismatches": nbad}
                 )
     print(
         json.dumps(
@@ -141,6 +150,7 @@ def main() -> int:
                 "ok": not failures,
                 "cases": cases,
                 "shapes": SHAPES,
+                "cboc_case": [8, 40],
                 "seeds_per_shape": n_seeds,
                 "failures": failures,
             }
