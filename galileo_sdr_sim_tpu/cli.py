@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", dest="verbose", action="store_true")
     p.add_argument("-u", dest="umfile", metavar="FILE", help="user-motion file")
     p.add_argument("--mode", choices=("float", "lut512"), default="float")
+    p.add_argument("--model", choices=("e1", "cboc"), default="e1",
+                   help="signal model: sine-BOC(1,1) E1 OS (reference "
+                        "parity, default) or full CBOC(6,1,1/11) "
+                        "(models/cboc.py; same fused-kernel rate)")
     p.add_argument("--engine", choices=("auto", "kp_pallas", "kp", "direct"),
                    default="auto",
                    help="synthesis engine: 'auto' = fused Pallas kernel on "
@@ -276,8 +280,13 @@ def main(argv=None) -> int:
         bit_source = servers.state
 
     use_usrp = args.disable_usrp is None
+    if args.model == "cboc":
+        from .models.cboc import E1_CBOC as signal_model
+    else:
+        from .models.e1 import E1_OS as signal_model
     engine = ScenarioEngine(nav, position, g0, args.duration,
-                            verbose=args.verbose, bit_source=bit_source)
+                            verbose=args.verbose, bit_source=bit_source,
+                            model=signal_model)
 
     if is_distributed:
         import time as _time

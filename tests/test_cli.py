@@ -41,6 +41,32 @@ def test_missing_navfile_errors():
     assert main([]) == 1
 
 
+def test_model_flag(tmp_path):
+    """--model cboc generates through the CBOC signal model; the output
+    still acquires with a sine-BOC replica (full chain covered in
+    test_cboc.py — here we pin the CLI plumbing)."""
+    import numpy as np
+
+    from galileo_sdr_sim_tpu.cli import main
+
+    args = build_parser().parse_args(["-e", "nav.rnx"])
+    assert args.model == "e1"  # reference-parity default
+
+    out = tmp_path / "cboc.ishort"
+    rc = main([
+        "-e", "/root/reference/rinex_files/20feb2022.rnx",
+        "-U", "1", "-b", "1", "-d", "0.3", "-o", str(out),
+        "-t", "2022/02/20,08:00:01", "--model", "cboc",
+    ])
+    assert rc == 0
+    x16 = np.fromfile(out, dtype=np.int16)
+    assert x16.size > 0
+    from galileo_sdr_sim_tpu.rx_track import acquire, iq_to_complex
+
+    a = acquire(iq_to_complex(x16), 15)
+    assert a.metric > 8.0, a.metric
+
+
 def test_invalid_time_rejected():
     from galileo_sdr_sim_tpu.cli import _parse_time
 
