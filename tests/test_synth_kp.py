@@ -54,12 +54,16 @@ def test_compact_channels(batch_1s):
     expect = max(8, -(-n_active // 8) * 8)
     assert c.f_code.shape[1] == min(expect, batch_1s.f_code.shape[1])
     assert set(c.prn[c.prn > 0]) == set(batch_1s.prn[batch_1s.prn > 0])
-    # compaction must not change the signal
+    # compaction must not change the signal AT ALL: with the explicit
+    # left-to-right channel add chain (synth_accum_kp), dropping idle
+    # zero rows removes exact +0.0 terms from the sum, which is an f32
+    # identity — so compacted and uncompacted int16 streams are equal
+    # bit for bit (this was only ~4-nines true when jnp.sum's shape-
+    # dependent reduction order could reassociate the sum)
     full = synth_batch_kp_host(batch_1s, NS)
     inp = prepare_kp_inputs(batch_1s, NS, compact=False)
     uncompacted = np.asarray(synth_block_kp(inp, n_k=NS // P_GRID))[:, : 2 * NS]
-    # float32 channel-sum association may flip rare truncation boundaries
-    assert (full == uncompacted).mean() > 0.9999
+    assert np.array_equal(full, uncompacted)
 
 
 def test_pad_epochs(batch_1s):
