@@ -350,59 +350,9 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
 
     sym = inputs["sym_win"]
     pil = inputs["pilot_win"]
-    d0 = sym[:, :, :n_kap]  # (B, C, kappa): period = kappa
-    d1 = sym[:, :, 1 : n_kap + 1]  # period = kappa + 1
-    d2 = sym[:, :, 2 : n_kap + 2]  # period = kappa + 2
-    s0 = pil[:, :, :n_kap]
-    s1 = pil[:, :, 1 : n_kap + 1]
-    s2 = pil[:, :, 2 : n_kap + 2]
-    w8b = w8[:, :, None, None, :]  # broadcast over (kappa, rho)
-    d_lo = d0[:, :, :, None, None] + w8b * (d1 - d0)[:, :, :, None, None]
-    d_hi = d1[:, :, :, None, None] + w8b * (d2 - d1)[:, :, :, None, None]
-    s_lo = s0[:, :, :, None, None] + w8b * (s1 - s0)[:, :, :, None, None]
-    s_hi = s1[:, :, :, None, None] + w8b * (s2 - s1)[:, :, :, None, None]
 
-    # --- delta(K, p) = floor(psi + mu*K) in {0, 1} --------------------
+    # --- rank-1 carrier factors (cheap, full (B, C, ...) rank) ---------
     k_full = ROWS * kap[None, None, :, None] + rho[None, None, None, :]  # (1,1,kap,rho)
-    muk = mu[..., None] * k_full  # (B, C, kappa, rho)
-    t_kp = psi[:, :, None, None, :] + muk[..., None]  # (B,C,kap,rho,p)
-    delta = jnp.floor(t_kp)
-
-    chip_b = a0b[:, :, None] + delta * (a1b - a0b)[:, :, None]
-    chip_c = a0c[:, :, None] + delta * (a1c - a0c)[:, :, None]
-
-    bsel = b0[:, :, None] + delta * (b1 - b0)[:, :, None]
-    d_val = d_lo + bsel * (d_hi - d_lo)
-    s_val = s_lo + bsel * (s_hi - s_lo)
-
-    if "cboc_ab" in inputs:
-        # CBOC(6,1,1/11): weight each component by (alpha +- beta*tau),
-        # tau = (-1)^(H + j6) with H = 1023*K + gb + delta the actual
-        # half-chip flat index (1023 odd and 8184 even, so parity(H) =
-        # parity(K) ^ parity(gb) ^ delta, and parity(K) = parity(rho)
-        # since K = 8*kappa + rho), and j6 = floor(6 * frac) the sc6
-        # sub-position within the half-chip.  All terms are exact small
-        # integers in f32; op order mirrors the Pallas kernel exactly
-        # (bit-identical engines on TPU).
-        ab = inputs["cboc_ab"]
-        frac = t_kp - delta
-        j6 = jnp.floor(jnp.float32(6.0) * frac)
-        pgb = gb - 2.0 * jnp.floor(gb * 0.5)  # (B, C, p)
-        kpar = rho - 2.0 * jnp.floor(rho * 0.5)  # (rho,)
-        par = (
-            pgb[:, :, None, None, :]
-            + kpar[None, None, None, :, None]
-            + delta
-            + j6
-        )
-        tau = 1.0 - 2.0 * (par - 2.0 * jnp.floor(par * 0.5))
-        wb = ab[0] + ab[1] * tau
-        wc = ab[0] - ab[1] * tau
-        m = (chip_b * wb) * d_val - (chip_c * wc) * s_val
-    else:
-        m = chip_b * d_val - chip_c * s_val  # (B, C, kappa, rho, p)
-
-    # --- rank-1 carrier ------------------------------------------------
     ph_k = inputs["fc_k"][..., None, None] * k_full  # (B, C, kappa, rho)
     ph_k = ph_k - jnp.floor(ph_k)
     ang_k = (2.0 * jnp.float32(np.pi)) * ph_k
@@ -413,31 +363,103 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
     ang_p = (2.0 * jnp.float32(np.pi)) * ph_p
     cpr, cpi = jnp.cos(ang_p), jnp.sin(ang_p)
 
-    cis_r = (
-        ckr[..., None] * cpr[:, :, None, None, :]
-        - cki[..., None] * cpi[:, :, None, None, :]
-    )
-    cis_i = (
-        ckr[..., None] * cpi[:, :, None, None, :]
-        + cki[..., None] * cpr[:, :, None, None, :]
-    )
-
+    # --- channel accumulation as a lax.scan over the channel axis ------
+    #
+    # Two constraints meet here:
+    # 1. ORDER: the accumulation must be strictly-ascending left-to-right
+    #    channel adds (NOT jnp.sum — a Reduce op's order is an XLA
+    #    scheduling choice that varies with shape, and a differently-
+    #    associated f32 sum lands 1 ulp off the fused Pallas kernel's
+    #    sequential per-channel adds, enough to flip trunc() at
+    #    integer-tie accumulator values; tools/tpu_parity_check.py
+    #    caught the divergence at n_k=40).
+    # 2. MEMORY: the full-rank (B, C, kap, rho, p) sample chain must
+    #    never materialize per channel simultaneously — an unrolled add
+    #    chain over slices of a full-rank product defeated XLA's
+    #    elementwise-into-reduce fusion and blew the 600 s soak's peak
+    #    RSS from 0.7 to 5.7 GB.
+    # A scan with the whole per-channel chain in its body satisfies
+    # both: one channel's temporaries + two accumulators live at a time,
+    # and the carry add order is exactly the kernel's.  All ops are
+    # elementwise/broadcast, so slicing the channel before computing is
+    # bit-identical per element to the old full-rank broadcasts.
     amp = jnp.float32(LUT_AMPLITUDE)
-    # explicit left-to-right channel accumulation (NOT jnp.sum): a Reduce
-    # op's order is an XLA scheduling choice that varies with shape, and
-    # a differently-associated f32 sum lands 1 ulp off the Pallas
-    # kernel's strictly-ascending per-channel adds — enough to flip
-    # trunc() at integer-tie accumulator values.  An unrolled add chain
-    # is IEEE-evaluated in program order (XLA does not reassociate
-    # floats), so the engines stay bit-identical at every shape
-    # (tools/tpu_parity_check.py caught the n_k=40 divergence).
-    vi = m * cis_r  # (B, C, kappa, rho, p)
-    vq = m * cis_i
-    i_acc = vi[:, 0]
-    q_acc = vq[:, 0]
-    for c in range(1, C):
-        i_acc = i_acc + vi[:, c]
-        q_acc = q_acc + vq[:, c]
+    k2 = k_full[0, 0]  # (kap, rho)
+    kpar = rho - 2.0 * jnp.floor(rho * 0.5)  # (rho,)
+    cboc = "cboc_ab" in inputs
+    cm = lambda x: jnp.moveaxis(x, 1, 0)  # noqa: E731 — channel-leading
+
+    xs = {
+        "a0b": cm(a0b), "a1b": cm(a1b), "a0c": cm(a0c), "a1c": cm(a1c),
+        "b0": cm(b0), "b1": cm(b1),
+        "psi": cm(psi), "w8": cm(w8), "mu": cm(inputs["mu"]),
+        "d0": cm(sym[:, :, :n_kap]), "d1": cm(sym[:, :, 1 : n_kap + 1]),
+        "d2": cm(sym[:, :, 2 : n_kap + 2]),
+        "s0": cm(pil[:, :, :n_kap]), "s1": cm(pil[:, :, 1 : n_kap + 1]),
+        "s2": cm(pil[:, :, 2 : n_kap + 2]),
+        "ckr": cm(ckr), "cki": cm(cki), "cpr": cm(cpr), "cpi": cm(cpi),
+    }
+    if cboc:
+        xs["pgb"] = cm(gb - 2.0 * jnp.floor(gb * 0.5))  # parity(gb), (C,B,p)
+
+    def body(carry, ch):
+        acc_i, acc_q = carry
+        w8b = ch["w8"][:, None, None, :]  # (B, 1, 1, p)
+        d_lo = ch["d0"][:, :, None, None] + w8b * (ch["d1"] - ch["d0"])[:, :, None, None]
+        d_hi = ch["d1"][:, :, None, None] + w8b * (ch["d2"] - ch["d1"])[:, :, None, None]
+        s_lo = ch["s0"][:, :, None, None] + w8b * (ch["s1"] - ch["s0"])[:, :, None, None]
+        s_hi = ch["s1"][:, :, None, None] + w8b * (ch["s2"] - ch["s1"])[:, :, None, None]
+
+        muk = ch["mu"][:, None, None] * k2[None]  # (B, kap, rho)
+        t_kp = ch["psi"][:, None, None, :] + muk[..., None]  # (B,kap,rho,p)
+        delta = jnp.floor(t_kp)
+
+        chip_b = ch["a0b"][:, None] + delta * (ch["a1b"] - ch["a0b"])[:, None]
+        chip_c = ch["a0c"][:, None] + delta * (ch["a1c"] - ch["a0c"])[:, None]
+        bsel = ch["b0"][:, None] + delta * (ch["b1"] - ch["b0"])[:, None]
+        d_val = d_lo + bsel * (d_hi - d_lo)
+        s_val = s_lo + bsel * (s_hi - s_lo)
+
+        if cboc:
+            # CBOC(6,1,1/11): weight each component by (alpha+-beta*tau),
+            # tau = (-1)^(H + j6), H = 1023*K + gb + delta the actual
+            # half-chip flat index (1023 odd and 8184 even, so
+            # parity(H) = parity(K) ^ parity(gb) ^ delta, and
+            # parity(K) = parity(rho) since K = 8*kappa + rho), and
+            # j6 = floor(6*frac) the sc6 sub-position in the half-chip.
+            # All terms are exact small integers in f32; op order
+            # mirrors the Pallas kernel exactly.
+            ab = inputs["cboc_ab"]
+            frac = t_kp - delta
+            j6 = jnp.floor(jnp.float32(6.0) * frac)
+            par = (
+                ch["pgb"][:, None, None, :]
+                + kpar[None, None, :, None]
+                + delta
+                + j6
+            )
+            tau = 1.0 - 2.0 * (par - 2.0 * jnp.floor(par * 0.5))
+            wb = ab[0] + ab[1] * tau
+            wc = ab[0] - ab[1] * tau
+            m = (chip_b * wb) * d_val - (chip_c * wc) * s_val
+        else:
+            m = chip_b * d_val - chip_c * s_val  # (B, kap, rho, p)
+
+        cis_r = (
+            ch["ckr"][..., None] * ch["cpr"][:, None, None, :]
+            - ch["cki"][..., None] * ch["cpi"][:, None, None, :]
+        )
+        cis_i = (
+            ch["ckr"][..., None] * ch["cpi"][:, None, None, :]
+            + ch["cki"][..., None] * ch["cpr"][:, None, None, :]
+        )
+        # carry-add order = the kernel's ascending-channel accumulation;
+        # the initial 0.0 + v is an exact f32 identity (only a -0.0 sign
+        # can differ, which trunc-to-int16 cannot see)
+        return (acc_i + m * cis_r, acc_q + m * cis_i), None
+
+    zero = jnp.zeros((B, n_kap, ROWS, P_GRID), jnp.float32)
+    (i_acc, q_acc), _ = jax.lax.scan(body, (zero, zero), xs)
     i_acc = i_acc * amp  # (B, kappa, rho, p)
     q_acc = q_acc * amp
 
