@@ -35,6 +35,24 @@ from ..scenario import EpochStateTable, ScenarioEngine
 from .sinks import Sink
 
 
+def _slice_epoch(batch, e: int):
+    """One-epoch view of an EpochBatch (leading epoch axis sliced to
+    [e:e+1]; channel-map fields pass through)."""
+    from dataclasses import replace
+
+    return replace(
+        batch,
+        grx_sec=batch.grx_sec[e : e + 1],
+        f_carr=batch.f_carr[e : e + 1],
+        f_code=batch.f_code[e : e + 1],
+        code_phase0=batch.code_phase0[e : e + 1],
+        carr_phase0=batch.carr_phase0[e : e + 1],
+        sym_win=batch.sym_win[e : e + 1],
+        pilot_win=batch.pilot_win[e : e + 1],
+        gain=batch.gain[e : e + 1],
+    )
+
+
 @dataclass
 class StreamStats:
     epochs: int = 0
@@ -130,15 +148,8 @@ class StreamingSynthesizer:
             # the code slabs on device across blocks
             with self.stats.timer.section("host_prep+dispatch"):
                 use_kp = self.synth_engine in ("kp", "kp_pallas")
-                if use_kp and not mu_in_envelope(batch.f_code):
-                    # a live-position teleport pushed one epoch's
-                    # pseudorange-rate-derived code Doppler outside the
-                    # factorized engines' envelope (ops/synth_kp.MU_MAX);
-                    # synthesize this batch with the direct engine, which
-                    # is exact for any rate (bounded samples instead of
-                    # out-of-model garbage)
-                    use_kp = False
-                if use_kp:
+                fallback = use_kp and not mu_in_envelope(batch.f_code)
+                if use_kp and not fallback:
                     inputs = prepare_kp_inputs(
                         batch,
                         self.nsamples,
@@ -152,6 +163,34 @@ class StreamingSynthesizer:
                         n_k=self.nsamples // P_GRID,
                         engine="pallas" if self.synth_engine == "kp_pallas" else "xla",
                     )
+                elif fallback:
+                    # An epoch's pseudorange-rate-derived code Doppler
+                    # fell outside the factorized engines' envelope
+                    # (ops/synth_kp.MU_MAX) — a live-position teleport,
+                    # or a channel-reallocation transition epoch (the
+                    # reference derives rate by the same differencing,
+                    # gal-sig.cpp:311-318).  Synthesize this block with
+                    # the direct engine, which is exact for any rate —
+                    # but ONE EPOCH AT A TIME: a full-B direct graph on
+                    # a CPU host allocates ~5 GB of gather/one-hot
+                    # buffers (it blew the 600 s soak's peak RSS from
+                    # 0.7 to 5.7 GB), while the B=1 slices stay ~0.1 GB
+                    # and the fallback only fires on transition blocks.
+                    outs = []
+                    for e in range(n_real):
+                        dinp = prepare_device_inputs(
+                            _slice_epoch(batch, e),
+                            self.tile,
+                            self.nsamples,
+                            pad_epochs=1,
+                            code_cache=self._direct_cache,
+                        )
+                        outs.append(
+                            np.asarray(
+                                synth_block(dinp, tile=self.tile, mode=self.mode)
+                            )[:, : 2 * self.nsamples]
+                        )
+                    fut = np.concatenate(outs, axis=0)
                 else:
                     inputs = prepare_device_inputs(
                         batch,

@@ -139,3 +139,81 @@ def test_live_state_queues_bounded():
         st.push_bits(4, 1)
     assert len(st.bit_queues[4]) == 4096  # bounded
     assert st.pop_bits(99, 10) == []  # unknown prn -> empty
+
+
+def test_mu_envelope_fallback_is_per_epoch(nav, g0, monkeypatch):
+    """A block with an out-of-envelope code-Doppler epoch (teleport /
+    reallocation transition) falls back to the direct engine ONE EPOCH
+    AT A TIME: a full-B direct graph on a CPU host allocates ~5 GB of
+    gather buffers (it blew the 600 s soak's peak RSS to 5.7 GB), while
+    B=1 slices stay ~0.1 GB.  Asserts every direct call in the fallback
+    ran at B=1 and that the streamed output equals per-epoch direct
+    synthesis of the same (corrupted) batches."""
+    from galileo_sdr_sim_tpu.io import stream as stream_mod
+    from galileo_sdr_sim_tpu.ops.synth import prepare_device_inputs
+
+    NSK = 10400  # kp engines need whole (8 x 1300)-sample row cycles
+
+    def corrupt(batches):
+        out = []
+        for i, b in enumerate(batches):
+            if i == 1:  # second block: one mega-Doppler epoch
+                b.f_code[0, 0] = 1023000.0 + 10.0  # mu = 0.01 > MU_MAX
+            out.append(b)
+        return out
+
+    def mk_batches():
+        eng = ScenarioEngine(
+            nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+            g0, duration_s=0.6,
+        )
+        return corrupt(list(eng.batches(2)))
+
+    batches = mk_batches()
+
+    class FakeEngine:
+        model = type("M", (), {"code_subdiv": 2})()
+
+        def batches(self, n, start=1):
+            yield from batches
+
+    seen_B = []
+    real_synth_block = stream_mod.synth_block
+
+    def spy(inputs, tile, mode):
+        seen_B.append(inputs["cp_base"].shape[0])
+        return real_synth_block(inputs, tile=tile, mode=mode)
+
+    monkeypatch.setattr(stream_mod, "synth_block", spy)
+
+    chunks = []
+
+    class Collect(NullSink):
+        def write(self, iq):
+            super().write(iq)
+            chunks.append(np.array(iq))
+
+    synth = StreamingSynthesizer(
+        FakeEngine(), Collect(), synth_engine="kp", block_epochs=2,
+        nsamples=NSK, tile=TILE,
+    )
+    stats = synth.run()
+    assert stats.epochs == 5  # 0.6 s -> 5 yielded epochs (ref timing)
+    assert seen_B and all(b == 1 for b in seen_B), seen_B
+    assert len(seen_B) == 2  # only the corrupted block fell back
+
+    streamed = np.concatenate([c.reshape(-1) for c in chunks])
+    direct = []
+    for batch in mk_batches():
+        for e in range(batch.f_code.shape[0]):
+            sl = stream_mod._slice_epoch(batch, e)
+            inp = prepare_device_inputs(sl, TILE, NSK, pad_epochs=1)
+            out = np.asarray(real_synth_block(inp, tile=TILE, mode="float"))
+            direct.append(out[:, : 2 * NSK].reshape(-1))
+    direct = np.concatenate(direct)
+    # the in-envelope blocks ran on the kp engine (timing-ULP tolerance
+    # vs direct); the fallback block must match direct exactly
+    n_blk = 2 * 2 * NSK  # samples*2 per 2-epoch block
+    assert np.array_equal(streamed[n_blk : 2 * n_blk], direct[n_blk : 2 * n_blk])
+    match = (streamed == direct).mean()
+    assert match > 0.99, match
