@@ -1,0 +1,113 @@
+"""A/B parity of NeQuick-G against the *compiled reference binary*.
+
+tests/data/iono_ref_fixture.json holds slant delays emitted by the
+reference's own ionosphericDelay (iono.cpp:30-69 -> NeQuickG :708,
+obliquity fallback :9-19), compiled unmodified by
+tools/gen_obs_fixture.py, over a (solar-activity x month x hour x
+latitude x elevation) grid plus the obliquity / disabled / low-satellite
+fallback paths.
+
+The quirk-path delay (range_error / c, iono.cpp:64-65) is ~1e-24 m but is
+an exact linear image of the full slant TEC (delay = TEC * 40.3 / f^2 / c),
+so a relative comparison of the delay IS a relative comparison of the TEC
+through the entire MODIP/Az/E-F1-F2/perigee/Kronrod chain.  Measured
+worst-case disagreement across the grid: 2e-14 relative; the bound below
+carries ~1e4 margin.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from galileo_sdr_sim_tpu.gnss_time import GalTime
+from galileo_sdr_sim_tpu.iono import ionospheric_delay
+from galileo_sdr_sim_tpu.rinex import IonoUtc
+
+FIXTURE = Path(__file__).parent / "data" / "iono_ref_fixture.json"
+
+REL_TOL = 1e-9
+CARR_FREQ = 1575420000.0
+
+
+@pytest.fixture(scope="module")
+def fix():
+    return json.loads(FIXTURE.read_text())
+
+
+def _iono_utc(fix, case):
+    if case["kind"] == "nequick":
+        ai = dict(fix["ai_sets"])[case["ai"]]
+        return IonoUtc(enable=True, vflg=True, ai0=ai[0], ai1=ai[1], ai2=ai[2])
+    if case["kind"] == "obliquity":
+        return IonoUtc(enable=True, vflg=False)
+    if case["kind"] == "disabled":
+        return IonoUtc(enable=False, vflg=True, ai0=80.0)
+    # lowsat_fallback
+    ai = case["ai"]
+    return IonoUtc(enable=True, vflg=True, ai0=ai[0], ai1=ai[1], ai2=ai[2])
+
+
+def _delay(fix, case):
+    return ionospheric_delay(
+        _iono_utc(fix, case),
+        GalTime(case["week"], case["sec"]),
+        case["user"],
+        case["sat"],
+        case["azel"],
+        CARR_FREQ,
+        quirk_fast_path=False,
+    )
+
+
+def test_nequick_ab_equality(fix):
+    """648-case grid: every slant delay equals the reference's to <=1e-9
+    relative (measured: 2e-14)."""
+    n = 0
+    for case in fix["cases"]:
+        if case["kind"] != "nequick":
+            continue
+        d = _delay(fix, case)
+        ref = case["ref_delay"]
+        assert abs(d - ref) <= REL_TOL * abs(ref), case
+        n += 1
+    assert n >= 600
+
+
+def test_nequick_grid_spans_all_months_and_activities(fix):
+    months_by_ai = {}
+    for case in fix["cases"]:
+        if case["kind"] != "nequick":
+            continue
+        # month = position of the week in the fixture's month ladder;
+        # distinct weeks are enough to witness 12 distinct table selections
+        months_by_ai.setdefault(case["ai"], set()).add(case["week"])
+    assert set(months_by_ai) == {"rinex", "flat_low", "high"}
+    for weeks in months_by_ai.values():
+        assert len(weeks) == 12
+
+
+def test_obliquity_ab_equality(fix):
+    n = 0
+    for case in fix["cases"]:
+        if case["kind"] != "obliquity":
+            continue
+        d = _delay(fix, case)
+        ref = case["ref_delay"]
+        assert ref > 0.5  # meter-scale
+        assert abs(d - ref) <= REL_TOL * abs(ref), case
+        n += 1
+    assert n >= 5
+
+
+def test_disabled_and_lowsat_fallback_ab(fix):
+    for case in fix["cases"]:
+        if case["kind"] == "disabled":
+            assert _delay(fix, case) == case["ref_delay"] == 0.0
+        elif case["kind"] == "lowsat_fallback":
+            # satellite below 2000 km: the reference's badPos guard
+            # (iono.cpp:727) falls back to the obliquity model; so must we
+            d = _delay(fix, case)
+            ref = case["ref_delay"]
+            assert ref > 0.5
+            assert abs(d - ref) <= REL_TOL * abs(ref), case
