@@ -14,6 +14,8 @@ from the DAC clock, mirroring the reference's 0.2 s FIFO.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from dataclasses import dataclass
 from typing import Callable, Iterator
@@ -89,6 +91,7 @@ class StreamingSynthesizer:
         checkpoint_path: str | None = None,
         checkpoint_every: int = 300,
         apply_gain: bool = False,
+        pipeline_depth: int = 2,
     ):
         self.engine = engine
         self.sink = sink
@@ -120,6 +123,16 @@ class StreamingSynthesizer:
         self.nsamples = nsamples  # != NUM_IQ_SAMPLES only in tests
         self.status_cb = status_cb
         self.stats = StreamStats(timer=Timer())
+        # in-flight device blocks allowed ahead of the sink (>= 1).  The
+        # producer thread prepares + uploads + dispatches up to this many
+        # blocks while earlier results are still streaming back, hiding
+        # both the host seeding work and the H2D upload behind device
+        # compute — the input-side mirror of the output double buffer.
+        # Bounded queue = reference-style backpressure (src/fifo.cpp).
+        self.pipeline_depth = max(1, pipeline_depth)
+        # serializes scenario stepping (producer thread) against
+        # checkpoint snapshots taken on the drain side
+        self._engine_lock = threading.Lock()
         self._stop = False
         self._code_cache: dict = {}
         self._direct_cache: dict = {}  # separate: the fallback path's slabs
@@ -140,15 +153,25 @@ class StreamingSynthesizer:
         self._stop = True
 
     def _device_blocks(self) -> Iterator[tuple[object, object, int]]:
-        for batch in self.engine.batches(
-            self.block_epochs, start=self._start_epoch
-        ):
+        gen = self.engine.batches(self.block_epochs, start=self._start_epoch)
+        while True:
+            # scenario stepping under the engine lock: checkpoint
+            # snapshots (taken on the drain side) see committed state
+            with self._engine_lock:
+                batch = next(gen, None)
+            if batch is None:
+                return
             n_real = batch.f_code.shape[0]
             # pad to a fixed epoch count -> exactly one XLA compile; cache
             # the code slabs on device across blocks
-            with self.stats.timer.section("host_prep+dispatch"):
-                use_kp = self.synth_engine in ("kp", "kp_pallas")
-                fallback = use_kp and not mu_in_envelope(batch.f_code)
+            use_kp = self.synth_engine in ("kp", "kp_pallas")
+            fallback = use_kp and not mu_in_envelope(batch.f_code)
+            # the fallback synthesizes AND synchronizes host-side, so it
+            # gets its own stage (device overlap with the sink is lost for
+            # those rare transition blocks; lumping it into
+            # host_prep+dispatch would misattribute device wait time)
+            section = "fallback_direct" if fallback else "host_prep+dispatch"
+            with self.stats.timer.section(section):
                 if use_kp and not fallback:
                     inputs = prepare_kp_inputs(
                         batch,
@@ -203,16 +226,58 @@ class StreamingSynthesizer:
             yield batch, fut, n_real
 
     def run(self) -> StreamStats:
+        """Producer thread prepares/uploads/dispatches up to
+        `pipeline_depth` blocks ahead; this thread drains results in
+        order.  Relay/H2D latency of block k+1..k+depth overlaps both the
+        device compute and the sink writes of block k.  Stage timers run
+        on both threads (disjoint section names), so section sums can
+        exceed wall time — that overlap is the point."""
         t0 = time.perf_counter()
-        pending = None  # (batch, device_array, n_real) still computing
-        for item in self._device_blocks():
-            if pending is not None:
-                self._drain(*pending)
-            pending = item
-            if self._stop:
-                break
-        if pending is not None:
-            self._drain(*pending)
+        q: queue.Queue = queue.Queue(maxsize=self.pipeline_depth)
+        err: list[BaseException] = []
+
+        def produce() -> None:
+            try:
+                for item in self._device_blocks():
+                    while not self._stop:
+                        try:
+                            q.put(item, timeout=0.05)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop:
+                        return
+            except BaseException as e:  # propagate to the drain thread
+                err.append(e)
+            finally:
+                while True:
+                    try:
+                        q.put(None, timeout=0.05)
+                        return
+                    except queue.Full:
+                        if self._stop:
+                            return
+
+        th = threading.Thread(target=produce, name="stream-producer")
+        th.start()
+        try:
+            while True:
+                try:
+                    item = q.get(timeout=0.05)
+                except queue.Empty:
+                    if err:
+                        break
+                    continue
+                if item is None:
+                    break
+                self._drain(*item)
+                if self._stop:
+                    break
+        finally:
+            self._stop = True
+            th.join()
+        if err:
+            raise err[0]
         self.stats.wall_s = time.perf_counter() - t0
         return self.stats
 
@@ -231,4 +296,8 @@ class StreamingSynthesizer:
         ):
             from ..checkpoint import save_state
 
-            save_state(self.engine, self.checkpoint_path)
+            # engine lock: the producer thread must not step the scenario
+            # mid-snapshot (resume is exact because the engine's pending
+            # buffer is serialized with it, checkpoint.py)
+            with self._engine_lock:
+                save_state(self.engine, self.checkpoint_path)

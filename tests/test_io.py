@@ -217,3 +217,65 @@ def test_mu_envelope_fallback_is_per_epoch(nav, g0, monkeypatch):
     assert np.array_equal(streamed[n_blk : 2 * n_blk], direct[n_blk : 2 * n_blk])
     match = (streamed == direct).mean()
     assert match > 0.99, match
+
+
+def test_pipeline_depth_preserves_order_and_output(nav, g0):
+    """The producer-thread pipeline (input-side double buffer): any
+    pipeline_depth yields the byte-identical stream in order, and a slow
+    sink exerts backpressure (bounded in-flight blocks) without loss."""
+    import time as _time
+
+    def mk_engine():
+        return ScenarioEngine(
+            nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+            g0, duration_s=0.9,
+        )
+
+    def run(depth, slow=False):
+        chunks = []
+
+        class Collect(NullSink):
+            def write(self, iq):
+                if slow:
+                    _time.sleep(0.03)
+                super().write(iq)
+                chunks.append(np.array(iq))
+
+        synth = StreamingSynthesizer(
+            mk_engine(), Collect(), mode="lut512", tile=TILE,
+            block_epochs=2, nsamples=NS, pipeline_depth=depth,
+        )
+        synth.run()
+        return np.concatenate([c.reshape(-1) for c in chunks])
+
+    base = run(1)
+    assert np.array_equal(base, run(4))
+    assert np.array_equal(base, run(3, slow=True))
+
+
+def test_pipeline_stop_terminates_promptly(nav, g0):
+    """stop() from the sink callback ends the threaded run without
+    draining the whole scenario."""
+    eng = ScenarioEngine(
+        nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+        g0, duration_s=5.0,
+    )
+    sink = NullSink()
+    synth = StreamingSynthesizer(
+        eng, sink, mode="lut512", tile=TILE, block_epochs=2, nsamples=NS,
+        pipeline_depth=2,
+    )
+
+    writes = []
+    orig = sink.write
+
+    def write(iq):
+        orig(iq)
+        writes.append(1)
+        if len(writes) == 2:
+            synth.stop()
+
+    sink.write = write
+    stats = synth.run()
+    assert 2 <= len(writes) <= 3  # stopped after the 2nd block
+    assert stats.epochs < 49
