@@ -32,11 +32,29 @@ def _load() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     with _build_lock:
-        if not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
-            )
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib_path = _LIB_PATH
+        if not lib_path.exists():
+            if _NATIVE_DIR.exists():
+                # dev checkout: build in place
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True, capture_output=True,
+                )
+            else:
+                # pip-installed wheel: the ring ships as the C++
+                # extension galileo_sdr_sim_tpu._iqring (setup.py) —
+                # plain C ABI, ctypes-loaded, never imported
+                import importlib.util
+
+                spec = importlib.util.find_spec("galileo_sdr_sim_tpu._iqring")
+                if spec is None or not spec.origin:
+                    raise RuntimeError(
+                        "native iqring library not found: neither a source "
+                        "checkout (native/) nor the packaged _iqring "
+                        "extension is available"
+                    )
+                lib_path = Path(spec.origin)
+        lib = ctypes.CDLL(str(lib_path))
         lib.iqring_create.restype = ctypes.c_void_p
         lib.iqring_create.argtypes = [ctypes.c_size_t]
         lib.iqring_destroy.argtypes = [ctypes.c_void_p]
