@@ -152,6 +152,12 @@ def main() -> None:
             inp["two_a"] = (
                 (mu.astype(np.float64) + COLS) / P_GRID
             ).astype(np.float32)
+            # carrier rate too (mirrors tools/tpu_parity_check.perturb):
+            # large |fc| exercises the fc_k frac-wrap path per K step
+            fc = rng.uniform(-3e-3, 3e-3, (B8, C8)).astype(np.float32)
+            inp["fc"] = fc
+            fc_k = fc.astype(np.float64) * P_GRID
+            inp["fc_k"] = (fc_k - np.floor(fc_k)).astype(np.float32)
             inp["vpack"] = pinputs["vpack"]
             inp["vpack_rs"] = pinputs["vpack_rs"]
             cases.append(inp)

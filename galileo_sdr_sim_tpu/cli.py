@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import signal
+from pathlib import Path
 import sys
 
 import numpy as np
@@ -201,6 +202,27 @@ def main(argv=None) -> int:
         import sys as _sys
 
         argv = _sys.argv[1:]
+
+    # persistent XLA compile cache: the full-size synthesis graphs take
+    # minutes to compile on relay-attached TPUs; cache them across
+    # processes (same default as bench.py, override via env)
+    import os as _os
+
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / "galileo_sdr_sim_tpu" / "jax"),
+    )
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent-cache config
+
     args = build_parser().parse_args(_glue_negative_values(list(argv)))
 
     # multi-host launch: set GALILEO_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID

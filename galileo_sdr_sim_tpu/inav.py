@@ -28,8 +28,28 @@ layouts were reverse-validated against the live-sky tv/ captures: for
 every CRC-clean captured word, the decoded Dsqrt(a)/e/delta-i/Omega-dot
 match the same satellite's RINEX ephemeris to quantization (median
 errors 2e-3 m^1/2 / 3e-6 / 6e-5 rad / 2e-10 rad/s across ~2000 words),
-WNa == week % 4, and W10's WN0G == week % 64.  Slots 16/17/19 (reduced
-CED / FEC2) still emit dummy 63 like the reference.
+WNa == week % 4, and W10's WN0G == week % 64.
+
+Word type 16 (reduced CED, OS SIS ICD v2.0) is likewise emitted with
+real data in its four schedule slots when real-data mode is on: the
+reduced orbit (DA vs A_red = 29 600 km, eccentricity vector ex/ey,
+Di0 vs 56 deg, Omega0 and mean argument of latitude lambda0 propagated
+to the page's transmission second t0r, af0/af1) quantized to the ICD
+widths 5/13/13/17/23/23/22/6 at scales 2^8 m and 2^-22 / 2^-26 / 2^-35.
+No external anchor exists in this environment — the reference emits
+dummy 63 there (inav-msg.cpp:377-384) and every tv/ capture predates
+the live I/NAV-improvements rollout (the 16-slots carry word 0 in all
+13 scenarios) — so correctness is pinned by round-trip decoding plus an
+orbit-reconstruction gate: satpos from the decoded reduced CED must
+match the full ephemeris at t0r to reduced-CED quantization error
+(tests/test_inav_word16.py).  Slots 17/19 (FEC2) still emit dummy 63
+like the reference.
+
+Schedule slots (WORD_ALLOCATION_E1, galileo-sdr.h:32-35) by index:
+0-7   -> 2, 4, 6, 7, 8, 17(dummy), 19(dummy), 16(real)
+8-14  -> 0, 0, 1, 3, 5, 0, 16(real)
+15-22 -> 2, 4, 6, 9, 10, 17(dummy), 19(dummy), 16(real)
+23-29 -> 0, 0, 1, 3, 5, 0, 16(real)
 """
 
 from __future__ import annotations
@@ -276,6 +296,87 @@ def _put_alm_clock(w: BitWriter, a: dict | None) -> None:
     w.put(a["e1bhs"], 2)
 
 
+# --- word 16: reduced CED (beyond the reference) ----------------------
+
+A_RED_NOM = 29_600_000.0  # ICD nominal semi-major axis for DA_red [m]
+I_RED_NOM = 56.0 / 180.0  # ICD nominal inclination [semicircles]
+
+
+def _clamp(v: int, nbits: int) -> int:
+    lo, hi = -(1 << (nbits - 1)), (1 << (nbits - 1)) - 1
+    return min(max(v, lo), hi)
+
+
+def _wrap_semicircles(x: float) -> float:
+    """Wrap to [-1, 1) semicircles (two's-complement angle range)."""
+    return (x + 1.0) % 2.0 - 1.0
+
+
+def reduced_ced_fields(eph: Ephemeris, t0r: float) -> dict:
+    """Reduced CED elements at reference time t0r (seconds of week).
+
+    The reduced model keeps only a Kepler orbit + linear clock: orbit
+    size/shape as (DA, ex, ey), orientation as (Di0, Omega0, lambda0 =
+    mean argument of latitude), all propagated from the full ephemeris
+    to t0r so the word is self-contained at its transmission time."""
+    dte = t0r - eph.toe.sec
+    dtc = t0r - eph.toc.sec
+    m_t = eph.m0 / np.pi + eph.n / np.pi * dte  # semicircles
+    return {
+        "dA": eph.sqrta * eph.sqrta - A_RED_NOM,
+        "ex": eph.ecc * np.cos(eph.aop),
+        "ey": eph.ecc * np.sin(eph.aop),
+        "di": eph.inc0 / np.pi - I_RED_NOM,
+        "om0": _wrap_semicircles(eph.omg0 / np.pi + eph.omgdot / np.pi * dte),
+        "lam0": _wrap_semicircles(m_t + eph.aop / np.pi),
+        "af0": eph.af0 + dtc * (eph.af1 + dtc * eph.af2),
+        "af1": eph.af1 + 2.0 * dtc * eph.af2,
+    }
+
+
+# (name, bits, scale exponent): ICD v2.0 reduced-CED quantization
+WORD16_LAYOUT = (
+    ("dA", 5, 8),
+    ("ex", 13, -22),
+    ("ey", 13, -22),
+    ("di", 17, -22),
+    ("om0", 23, -22),
+    ("lam0", 23, -22),
+    ("af0", 22, -26),
+    ("af1", 6, -35),
+)
+
+
+def reduced_ced_representable(eph: Ephemeris, t0r: float) -> bool:
+    """Whether the orbit fits the reduced-CED field ranges.  The
+    eccentric-orbit satellites (E14/E18: A ~ 27 978 km, e ~ 0.16) are
+    orders of magnitude outside the DA/ex/ey ranges — the live system
+    does not broadcast reduced CED for them either; those channels fall
+    back to dummy 63 in the 16-slots."""
+    fields = reduced_ced_fields(eph, t0r)
+    for name, nbits, scale in WORD16_LAYOUT:
+        raw = unscale_int(fields[name], scale)
+        if raw != _clamp(raw, nbits):
+            return False
+    return True
+
+
+def word16_t0r(g_sec: float) -> float:
+    """Reference time of a word-16 page: the even second of its 2 s
+    schedule slot.  Deterministic on both ends: the encoder's page
+    generation happens inside the slot (the transmitted page pair starts
+    at the ODD slot second — the reference's +250-symbol offset,
+    gal-sig.cpp:334-339 — plus ~80 ms travel), and the receiver knows
+    the slot from its frame anchor (t0r = page-start odd second - 1)."""
+    return 2.0 * (int(g_sec) // 2)
+
+
+def _put_word16(w: "BitWriter", eph: Ephemeris, g: GalTime) -> None:
+    fields = reduced_ced_fields(eph, word16_t0r(g.sec))
+    for name, nbits, scale in WORD16_LAYOUT:
+        w.put_i32(_clamp(unscale_int(fields[name], scale), nbits), nbits)
+
+
 def generate_page_pair(
     g: GalTime, eph: Ephemeris, iono: IonoUtc, word_type: int,
     almanac: dict | None = None,
@@ -401,6 +502,14 @@ def generate_page_pair(
         w.put(0, 12)  # A1G (2^-51 s/s)
         w.put(0, 8)  # t0G (3600 s units)
         w.put(almanac["wn0g"], 6)
+    elif (
+        word_type == 16
+        and almanac is not None
+        and reduced_ced_representable(eph, word16_t0r(g.sec))
+    ):
+        # reduced CED (beyond the reference; see module docstring)
+        w.put(16, 8)
+        _put_word16(w, eph, g)
     else:  # dummy word 63
         w.put(63, 8)
         w.put(0, 122)

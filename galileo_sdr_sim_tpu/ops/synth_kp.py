@@ -245,6 +245,7 @@ def prepare_kp_inputs(
         v0 = abs(float(codes_b[r0, 0]))
         v1 = abs(float(codes_b[r0, 1]))
         cboc_ab = np.array([(v0 + v1) / 2.0, (v0 - v1) / 2.0], np.float32)
+        cboc_orig = (codes_b, codes_c)
         codes_b = np.sign(codes_b[:, ::6]).astype(np.int8)
         codes_c = np.sign(codes_c[:, ::6]).astype(np.int8)
     else:
@@ -265,6 +266,36 @@ def prepare_kp_inputs(
         vpack = code_cache["vpack"]
         vpack_rs = code_cache.get("vpack_rs")
     else:
+        if cboc_ab is not None:
+            # Guard the factorization: any 12-subdiv table the model
+            # supplies must actually decompose as
+            #   data  = bank * (alpha + beta * tau),
+            #   pilot = bank * (alpha - beta * tau),  tau = (-1)^(h+s)
+            # (h = half-chip index, s = sub-position).  A future
+            # 12-subdiv model that violates this (e.g. TMBOC-style
+            # time-multiplexed weights) must not be synthesized silently
+            # wrong — fail loudly and point at the direct engine.
+            # Checked only when the code slabs are (re)built.
+            ob, oc = cboc_orig
+            n_g = np.arange(ob.shape[1])
+            tau = (1 - 2 * ((n_g // 6 + n_g % 6) & 1)).astype(np.float32)
+            a_w, b_w = float(cboc_ab[0]), float(cboc_ab[1])
+            pred_b = codes_b[act].astype(np.float32).repeat(6, axis=1) * (
+                a_w + b_w * tau
+            )
+            pred_c = codes_c[act].astype(np.float32).repeat(6, axis=1) * (
+                a_w - b_w * tau
+            )
+            if not (
+                np.allclose(pred_b, ob[act], atol=1e-5)
+                and np.allclose(pred_c, oc[act], atol=1e-5)
+            ):
+                raise ValueError(
+                    "12-subdiv code table does not factor as "
+                    "halfchip*(alpha +/- beta*tau); the (K,p) engines "
+                    "cannot synthesize it — use the direct engine "
+                    "(synth_engine='direct')"
+                )
         vpack = jnp.asarray(_pack_codes(codes_b, codes_c))
         vpack_rs = (
             jnp.asarray(_pack_codes_rs(codes_b, codes_c))

@@ -224,3 +224,59 @@ def decode_almanac_word(page: np.ndarray) -> dict:
     else:
         raise ValueError(f"not an almanac word: type {wt}")
     return out
+
+
+# --- reduced CED decode (word type 16; beyond the reference) -----------
+
+
+def decode_word16(page: np.ndarray) -> dict:
+    """Parse a word-type-16 content page into reduced CED fields
+    (inverse of inav._put_word16; layout inav.WORD16_LAYOUT)."""
+    from .inav import WORD16_LAYOUT
+
+    w = word_data_bits(page)
+    wt = _bits_u(w[:6])
+    if wt != 16:
+        raise ValueError(f"not a reduced-CED word: type {wt}")
+    out: dict = {"word_type": wt}
+    i = 6
+    for name, nbits, scale in WORD16_LAYOUT:
+        out[name] = _bits_s(w[i:i + nbits]) * 2.0 ** scale
+        i += nbits
+    return out
+
+
+def reduced_ced_record(fields: dict, t0r: float, week: int):
+    """Reduced CED fields -> an ephemeris-like record usable by
+    geodesy.satpos (rates/harmonics zero, toe = toc = t0r), per the
+    reduced-CED reconstruction: A = A_red_nom + DA, (e, omega) from the
+    eccentricity vector, i0 = 56 deg + Di0, M0 = lambda0 - omega."""
+    from types import SimpleNamespace
+
+    from .constants import OMEGA_EARTH, WGS_SQRT_GM
+    from .inav import A_RED_NOM, I_RED_NOM
+
+    A = A_RED_NOM + fields["dA"]
+    ecc = float(np.hypot(fields["ex"], fields["ey"]))
+    aop = float(np.arctan2(fields["ey"], fields["ex"]))
+    m0 = fields["lam0"] * np.pi - aop
+    return SimpleNamespace(
+        m0=m0,
+        ecc=ecc,
+        sqrta=np.sqrt(A),
+        A=A,
+        n=WGS_SQRT_GM / (np.sqrt(A) * A),
+        sq1e2=np.sqrt(1.0 - ecc * ecc),
+        aop=aop,
+        cuc=0.0, cus=0.0, crc=0.0, crs=0.0, cic=0.0, cis=0.0,
+        inc0=(I_RED_NOM + fields["di"]) * np.pi,
+        idot=0.0,
+        omg0=fields["om0"] * np.pi,
+        omgkdot=-OMEGA_EARTH,
+        toe_sec=t0r,
+        toc_sec=t0r,
+        af0=fields["af0"],
+        af1=fields["af1"],
+        af2=0.0,
+        bgde5b=0.0,
+    )

@@ -140,6 +140,12 @@ def parse_word(content: np.ndarray) -> dict:
         out["e1b_dvs"] = r.u(1)
         out["wn"] = r.u(12)
         out["tow"] = r.u(20)
+    elif wt == 16:
+        # reduced CED (inverse of inav._put_word16 / WORD16_LAYOUT)
+        from .inav import WORD16_LAYOUT
+
+        for name, nbits, scale in WORD16_LAYOUT:
+            out[name] = r.s(nbits) * 2.0**scale
     elif wt == 6:
         out["A0"] = r.s(32) * 2.0**-30
         out["A1"] = r.s(24) * 2.0**-50

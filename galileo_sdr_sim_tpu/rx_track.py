@@ -102,6 +102,7 @@ def acquire(
     doppler_span: float = 4000.0,
     n0: int = 0,
     n_noncoh: int = 1,
+    model=None,
 ) -> Acquisition:
     """PCPS acquisition of one PRN on the E1B component.
 
@@ -116,8 +117,18 @@ def acquire(
     power map, whose noise floor tightens ~sqrt(M)).
     """
     t = np.arange(N_PER) / SAMP_RATE
-    idx = np.floor(t * 2.0 * CODE_FREQ_E1).astype(np.int64) % (2 * CA_SEQ_LEN_E1)
-    rep = boc_chips("E1B")[prn - 1][idx].astype(np.float64)
+    # model-matched replica: default sine-BOC(1,1) half-chips (what the
+    # GNSS-SDR eval config uses, cboc=false); pass a signal model (e.g.
+    # models.cboc.E1_CBOC) to correlate against its true pointwise
+    # waveform instead (+0.4 dB on a CBOC stream)
+    if model is None:
+        sub, rep_src = 2, boc_chips("E1B")[prn - 1]
+    else:
+        sub, rep_src = model.code_subdiv, model.data_codes[prn - 1]
+    idx = np.floor(t * sub * CODE_FREQ_E1).astype(np.int64) % (
+        sub * CA_SEQ_LEN_E1
+    )
+    rep = rep_src[idx].astype(np.float64)
     rep_fft = np.conj(np.fft.fft(rep))
 
     # 100 Hz grid: coarse error <= 50 Hz, inside the +-125 Hz pull-in of
@@ -217,6 +228,7 @@ def track(
     block: int = 104000,
     meas_every: int = 6,
     max_periods: int | None = None,
+    model=None,
 ) -> TrackResult:
     """Track one satellite through the whole stream.
 
@@ -228,8 +240,16 @@ def track(
     (galileo-sdr.cpp:347) -- which the code loop follows as a common-mode
     ramp, absorbed by the receiver clock term in the PVT solve).
     """
-    bocB = boc_chips("E1B")[acq.prn - 1].astype(np.float64)
-    bocC = boc_chips("E1C")[acq.prn - 1].astype(np.float64)
+    # model-matched replicas (see acquire); `sub` scales chip->table index
+    if model is None:
+        sub = 2.0
+        bocB = boc_chips("E1B")[acq.prn - 1].astype(np.float64)
+        bocC = boc_chips("E1C")[acq.prn - 1].astype(np.float64)
+    else:
+        sub = float(model.code_subdiv)
+        bocB = model.data_codes[acq.prn - 1].astype(np.float64)
+        bocC = model.pilot_codes[acq.prn - 1].astype(np.float64)
+    subL = int(sub) * CA_SEQ_LEN_E1
     fs = SAMP_RATE
     nsamp = len(x)
     n_blocks = nsamp // block
@@ -273,9 +293,7 @@ def track(
             )
             r = np.empty(len(taus))
             for ti, tau in enumerate(taus):
-                hc = np.floor(2.0 * (cp + tau)).astype(np.int64) % (
-                    2 * CA_SEQ_LEN_E1
-                )
+                hc = np.floor(sub * (cp + tau)).astype(np.int64) % subL
                 y = base * bocB[hc]
                 r[ti] = np.abs(np.add.reduceat(y, starts)).sum()
             if wide:
@@ -284,9 +302,7 @@ def track(
                 taus = t0 + np.arange(-0.12, 0.121, 0.04)
                 r = np.empty(len(taus))
                 for ti, tau in enumerate(taus):
-                    hc = np.floor(2.0 * (cp + tau)).astype(np.int64) % (
-                        2 * CA_SEQ_LEN_E1
-                    )
+                    hc = np.floor(sub * (cp + tau)).astype(np.int64) % subL
                     y = base * bocB[hc]
                     r[ti] = np.abs(np.add.reduceat(y, starts)).sum()
                 wide = False
@@ -310,7 +326,7 @@ def track(
         fc_hist.append(f_code)
 
         # --- prompts ----------------------------------------------------
-        hc = np.floor(2.0 * cp).astype(np.int64) % (2 * CA_SEQ_LEN_E1)
+        hc = np.floor(sub * cp).astype(np.int64) % subL
         yb = base * bocB[hc]
         yc = base * bocC[hc]
         db = np.add.reduceat(yb, starts)

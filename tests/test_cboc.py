@@ -200,3 +200,177 @@ def test_sineboc_receiver_acquires_kp_cboc(cboc_kp_stream):
         assert abs(a.doppler - f_carr[prn]) <= 300.0, (prn, a.doppler)
     for prn in (6, 17):
         assert acquire(x, prn).metric < 6.0
+
+
+def test_kp_rejects_non_factorable_12grid_table(nav, g0):
+    """A 12-subdiv table that does NOT decompose as
+    halfchip*(alpha +/- beta*tau) (e.g. TMBOC-style time-multiplexed
+    weights) must raise instead of synthesizing silently wrong output;
+    such models belong on the direct engine."""
+    from dataclasses import replace
+
+    from galileo_sdr_sim_tpu.ops.synth_kp import prepare_kp_inputs
+
+    eng = ScenarioEngine(
+        nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+        g0, duration_s=0.2, model=E1_CBOC,
+    )
+    batch = next(eng.batches(2))
+    bad_b = batch.codes_b.copy()
+    # corrupt one sub-position weight in an active row: breaks the
+    # uniform-(alpha, beta) assumption without changing the table width
+    act = np.nonzero(np.any(bad_b, axis=1))[0][0]
+    bad_b[act, 7] *= 3.0
+    bad = replace(batch, codes_b=bad_b)
+    with pytest.raises(ValueError, match="does not factor"):
+        prepare_kp_inputs(bad, NUM_IQ_SAMPLES)
+
+
+# --- CBOC-matched receiver + band-limited equivalence (VERDICT r3 #8) --
+
+
+def _gen_pointwise(table, sub, f_code, fd, cp0, carr0, fs, n):
+    """Single-channel complex CBOC baseband, pointwise waveform-table
+    sampling at rate fs (the transmit-side representation)."""
+    nn = np.arange(n)
+    cp = (cp0 + f_code * nn / fs) % CA_SEQ_LEN_E1
+    chip = table[np.floor(sub * cp).astype(np.int64)]
+    return chip * np.exp(2j * np.pi * (carr0 + fd * nn / fs))
+
+
+@pytest.fixture(scope="module")
+def hi_rate_scene():
+    """One channel at 12x oversampling (31.2 Msps): the sc6 component is
+    properly represented (6.138 MHz < fs/2), giving the clean reference
+    for matched-correlator gain and for what a band-limited front end
+    sees of the 2.6 Msps pointwise representation."""
+    from galileo_sdr_sim_tpu.constants import CODE_FREQ_E1, SAMP_RATE
+
+    prn, fd, cp0, carr0 = 5, -974.0, 1234.567, 0.123
+    f_code = CODE_FREQ_E1 + fd / 1540.0
+    os_f = 12
+    fs_hi = SAMP_RATE * os_f
+    n_lo = 2 * 10400
+    tab = E1_CBOC.data_codes[prn - 1].astype(np.float64)
+    hi = _gen_pointwise(tab, 12, f_code, fd, cp0, carr0, fs_hi, n_lo * os_f)
+    lo_pointwise = _gen_pointwise(tab, 12, f_code, fd, cp0, carr0, SAMP_RATE, n_lo)
+    # windowed-sinc low-pass at fs_lo/2, then decimate x12
+    M = 12 * 32 + 1
+    k = np.arange(M) - M // 2
+    fc = 0.5 / os_f
+    h = 2 * fc * np.sinc(2 * fc * k) * np.hamming(M)
+    h /= h.sum()
+    lo_band = np.convolve(hi, h, mode="same")[::os_f]
+    return dict(prn=prn, fd=fd, cp0=cp0, f_code=f_code, fs_hi=fs_hi,
+                hi=hi, lo_pointwise=lo_pointwise, lo_band=lo_band)
+
+
+def test_matched_correlator_gain_exact_at_high_rate(hi_rate_scene):
+    """With sc6 properly sampled, the CBOC-matched correlator recovers
+    exactly 1/alpha = +0.414 dB over the sine-BOC correlator (both
+    replicas unit-power), and the sc6 residual correlates at exactly
+    beta — the sc6 CONTENT of the emitted waveform is the model's."""
+    from galileo_sdr_sim_tpu.constants import CA_SEQ_LEN_E1 as L
+
+    s = hi_rate_scene
+    n = np.arange(10400 * 12)
+    cp = (s["cp0"] + s["f_code"] * n / s["fs_hi"]) % L
+    tab = E1_CBOC.data_codes[s["prn"] - 1].astype(np.float64)
+    sine = codes.boc_chips("E1B")[s["prn"] - 1].astype(np.float64)
+    rep_m = tab[np.floor(12 * cp).astype(np.int64)]
+    rep_s = sine[np.floor(2 * cp).astype(np.int64)]
+    xw = s["hi"][: n.size] * np.exp(-2j * np.pi * s["fd"] * n / s["fs_hi"])
+    g_m = abs(np.vdot(rep_m, xw)) / np.linalg.norm(rep_m)
+    g_s = abs(np.vdot(rep_s, xw)) / np.linalg.norm(rep_s)
+    np.testing.assert_allclose(g_m / g_s, 1.0 / ALPHA, rtol=1e-3)
+
+    resid = rep_m - ALPHA * rep_s  # the beta*sc6 component alone
+    g_r = abs(np.vdot(resid, xw)) / np.linalg.norm(resid)
+    np.testing.assert_allclose(g_r / g_m, BETA, rtol=1e-2)
+
+
+def test_band_limited_equivalence_of_pointwise_sampling(hi_rate_scene):
+    """models/cboc.py:33-36 caveat pinned: the 2.6 Msps pointwise
+    sampling of the 6.138 MHz sc6 is above Nyquist, so what matters is
+    that a band-limited front end (generate at 31.2 Msps -> low-pass at
+    1.3 MHz -> decimate) sees the SAME signal a receiver gets from the
+    pointwise stream: identical code phase (same correlation lag),
+    sine-correlator amplitude within 10%, stream correlation > 0.85
+    (the alpha*sc1 in-band part dominates; the folded sc6 differs)."""
+    from galileo_sdr_sim_tpu.constants import CODE_FREQ_E1, SAMP_RATE
+    from galileo_sdr_sim_tpu.constants import CA_SEQ_LEN_E1 as L
+
+    s = hi_rate_scene
+    t = np.arange(10400) / SAMP_RATE
+    idx2 = np.floor(t * 2 * CODE_FREQ_E1).astype(np.int64) % (2 * L)
+    rep = codes.boc_chips("E1B")[s["prn"] - 1][idx2].astype(np.float64)
+    Rf = np.conj(np.fft.fft(rep))
+
+    def peak(x):
+        xc = x[:10400] * np.exp(-2j * np.pi * s["fd"] * t)
+        c = np.abs(np.fft.ifft(np.fft.fft(xc) * Rf))
+        return float(c.max()), int(np.argmax(c))
+
+    pk_p, lag_p = peak(s["lo_pointwise"])
+    pk_b, lag_b = peak(s["lo_band"])
+    assert abs(lag_p - lag_b) <= 1, (lag_p, lag_b)
+    assert 0.90 <= pk_b / pk_p <= 1.10, pk_b / pk_p
+    cc = abs(np.vdot(s["lo_pointwise"], s["lo_band"])) / (
+        np.linalg.norm(s["lo_pointwise"]) * np.linalg.norm(s["lo_band"])
+    )
+    assert cc > 0.85, cc
+
+
+def test_cboc_matched_receiver_on_stream(cboc_stream):
+    """The production 2.6 Msps CBOC stream through the CBOC-matched
+    receiver path (acquire/track with model=E1_CBOC): every present PRN
+    acquires at the right Doppler, and on average the matched correlator
+    recovers power over the sine replica (per-PRN ratios scatter with
+    code phase because the pointwise sc6 folds at 2.6 Msps — the clean
+    +0.414 dB is pinned at high rate above)."""
+    from galileo_sdr_sim_tpu.constants import CODE_FREQ_E1, SAMP_RATE
+    from galileo_sdr_sim_tpu.constants import CA_SEQ_LEN_E1 as L
+
+    x, prns, f_carr = cboc_stream
+    t = np.arange(10400) / SAMP_RATE
+    ratios = []
+    for prn in prns:
+        a = acquire(x, prn, model=E1_CBOC)
+        assert a.metric > 8.0, (prn, a.metric)
+        assert abs(a.doppler - f_carr[prn]) <= 300.0, (prn, a.doppler)
+        # amplitude ratio matched/sine at the true Doppler
+        best = {}
+        for name, src, sub in (
+            ("sine", codes.boc_chips("E1B")[prn - 1], 2),
+            ("cboc", E1_CBOC.data_codes[prn - 1], 12),
+        ):
+            idx = np.floor(t * sub * CODE_FREQ_E1).astype(np.int64) % (sub * L)
+            rep = src[idx].astype(np.float64)
+            Rf = np.conj(np.fft.fft(rep))
+            pk = 0.0
+            for d in np.arange(f_carr[prn] - 100, f_carr[prn] + 101, 25):
+                xc = x[:10400] * np.exp(-2j * np.pi * d * t)
+                pk = max(pk, float(np.abs(np.fft.ifft(np.fft.fft(xc) * Rf)).max()))
+            best[name] = pk
+        ratios.append(best["cboc"] / best["sine"])
+    mean_gain = float(np.mean(ratios))
+    assert 1.0 <= mean_gain <= 1.10, (mean_gain, ratios)
+    assert all(0.95 <= r <= 1.15 for r in ratios), ratios
+
+
+def test_cboc_matched_tracking(cboc_stream):
+    """track(model=E1_CBOC) holds lock on the CBOC stream: prompts are
+    coherent (high |mean|/mean|..|) and the pilot secondary sign
+    structure survives — the matched replica is usable end-to-end, not
+    just for acquisition."""
+    from galileo_sdr_sim_tpu.rx_track import track
+
+    x, prns, f_carr = cboc_stream
+    prn = prns[0]
+    a = acquire(x, prn, model=E1_CBOC)
+    tr = track(x, a, model=E1_CBOC)
+    k = tr.n_count > 9000  # full periods only
+    d = tr.d_prompt[k]
+    assert d.size >= 100
+    coh = np.abs(np.sum(np.abs(d.real))) / np.sum(np.abs(d))
+    assert coh > 0.98, coh

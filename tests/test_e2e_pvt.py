@@ -84,3 +84,28 @@ def test_recovered_ephemeris_matches_broadcast(nav, pvt_scene, fix):
     assert abs(rec.bgde5b - truth.bgde5b) <= 2.0**-32
     assert rec.toe.sec == truth.toe.sec  # multiple of 60 s -> exact
     assert rec.iode == truth.iode
+
+
+def test_receiver_recovers_reduced_ced(nav, pvt_scene, fix):
+    """The 16-slot inside the scene (transmit sec 28828) carries real
+    reduced CED (beyond the reference, which sends dummy 63 there): the
+    receiver's decoded word 16 must reconstruct each satellite's orbit
+    to reduced-CED quantization (<= 400 m at t0r) using ONLY the samples."""
+    from galileo_sdr_sim_tpu.inav import reduced_ced_representable
+    from galileo_sdr_sim_tpu.rx import reduced_ced_record
+
+    g0, _ = pvt_scene
+    t0r = 28828.0
+    checked = 0
+    for dec in fix.channels:
+        truth = nav.eph[dec.prn - 1][nav.epoch_match(dec.prn - 1, g0)]
+        if not reduced_ced_representable(truth, t0r):
+            continue
+        assert 16 in dec.words, f"PRN {dec.prn}: word 16 not decoded"
+        red = reduced_ced_record(dec.words[16], t0r, g0.week)
+        pos_r, _, _ = geodesy.satpos(red, t0r)
+        pos_f, _, _ = geodesy.satpos(truth, t0r)
+        err = np.linalg.norm(pos_r - pos_f)
+        assert err < 400.0, (dec.prn, err)
+        checked += 1
+    assert checked >= 4
