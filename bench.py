@@ -311,6 +311,38 @@ def main() -> None:
     float(sum(float(s) for s in sums))  # drain the device queue
     devsink_sps = dev_epochs * NUM_IQ_SAMPLES / (time.perf_counter() - t0)
 
+    # --- pipelined device-resident sink (io/stream.py drain_host=False)
+    # Same workload through the PRODUCTION executor: the producer thread
+    # preps/uploads/dispatches pipeline_depth blocks ahead while the
+    # sink consumes device arrays (a jitted checksum; no D2H sample
+    # traffic), so relay dispatch round-trips overlap — the input-side
+    # double buffer this round added.  Compare against devsink_sps
+    # (the serial prep->dispatch loop above).
+    class _DevSink:
+        def __init__(self):
+            self.sums = []
+
+        def write(self, blk):
+            self.sums.append(csum(blk) if not isinstance(blk, np.ndarray)
+                             else float(blk[:, ::1001].astype(np.float32).sum()))
+
+        def close(self):
+            pass
+
+    eng_dp = ScenarioEngine(
+        nav,
+        PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+        g0,
+        duration_s=30.0,
+    )
+    dsink = _DevSink()
+    t0 = time.perf_counter()
+    st_dp = StreamingSynthesizer(
+        eng_dp, dsink, block_epochs=B, drain_host=False, pipeline_depth=3
+    ).run()
+    float(sum(float(s) for s in dsink.sums))  # force everything
+    devsink_pipe_sps = st_dp.samples / (time.perf_counter() - t0)
+
     # --- sustained end-to-end pipeline rate ---------------------------
 
     eng2 = ScenarioEngine(
@@ -362,6 +394,7 @@ def main() -> None:
                 "n_sats_decoded": n_sats_decoded,
                 "b1_samples_per_sec": b1_sps,
                 "devsink_samples_per_sec": devsink_sps,
+                "devsink_pipelined_samples_per_sec": devsink_pipe_sps,
                 "e2e_samples_per_sec": stats.samples_per_sec,
                 "e2e_vs_baseline": stats.realtime_factor,
                 "host_engine_samples_per_sec": host_sps,

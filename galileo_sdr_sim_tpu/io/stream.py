@@ -91,7 +91,8 @@ class StreamingSynthesizer:
         checkpoint_path: str | None = None,
         checkpoint_every: int = 300,
         apply_gain: bool = False,
-        pipeline_depth: int = 2,
+        pipeline_depth: int | None = None,
+        drain_host: bool = True,
     ):
         self.engine = engine
         self.sink = sink
@@ -123,13 +124,29 @@ class StreamingSynthesizer:
         self.nsamples = nsamples  # != NUM_IQ_SAMPLES only in tests
         self.status_cb = status_cb
         self.stats = StreamStats(timer=Timer())
-        # in-flight device blocks allowed ahead of the sink (>= 1).  The
-        # producer thread prepares + uploads + dispatches up to this many
-        # blocks while earlier results are still streaming back, hiding
-        # both the host seeding work and the H2D upload behind device
-        # compute — the input-side mirror of the output double buffer.
-        # Bounded queue = reference-style backpressure (src/fifo.cpp).
+        # in-flight device blocks allowed ahead of the sink.  Depth >= 2:
+        # a producer thread prepares + uploads + dispatches up to this
+        # many blocks while earlier results are still streaming back,
+        # hiding host seeding and H2D upload behind device compute — the
+        # input-side mirror of the output double buffer, with bounded-
+        # queue backpressure (reference analogue: src/fifo.cpp).
+        # Depth 1: the single-thread prep(k+1)-then-drain(k) pipeline —
+        # the minimum-latency mode, where a live position update lands in
+        # the very next prepared epoch.  Default: 1 when the scenario's
+        # position source is live (interactive/UDP 7533 — the latency
+        # contract of galileo-sdr.cpp:443 pinned by
+        # test_baseline_configs.test_live_position_reaches_samples_b1),
+        # else 2.
+        if pipeline_depth is None:
+            pos = getattr(engine, "position", None)
+            live = getattr(pos, "_live", None) is not None
+            pipeline_depth = 1 if live else 2
         self.pipeline_depth = max(1, pipeline_depth)
+        # drain_host=False: blocks are handed to the sink as device
+        # arrays (no D2H fetch) — for device-resident consumers; the
+        # fallback path still yields numpy blocks, which such sinks
+        # must accept (rare transition blocks)
+        self.drain_host = drain_host
         # serializes scenario stepping (producer thread) against
         # checkpoint snapshots taken on the drain side
         self._engine_lock = threading.Lock()
@@ -231,8 +248,24 @@ class StreamingSynthesizer:
         order.  Relay/H2D latency of block k+1..k+depth overlaps both the
         device compute and the sink writes of block k.  Stage timers run
         on both threads (disjoint section names), so section sums can
-        exceed wall time — that overlap is the point."""
+        exceed wall time — that overlap is the point.
+
+        Depth 1 runs single-threaded: dispatch block k+1, then drain
+        block k — one block of device lead, and live position updates
+        land in the next prepared epoch."""
         t0 = time.perf_counter()
+        if self.pipeline_depth == 1:
+            pending = None
+            for item in self._device_blocks():
+                if pending is not None:
+                    self._drain(*pending)
+                pending = item
+                if self._stop:
+                    break
+            if pending is not None:
+                self._drain(*pending)
+            self.stats.wall_s = time.perf_counter() - t0
+            return self.stats
         q: queue.Queue = queue.Queue(maxsize=self.pipeline_depth)
         err: list[BaseException] = []
 
@@ -282,10 +315,19 @@ class StreamingSynthesizer:
         return self.stats
 
     def _drain(self, batch, fut, n_real: int) -> None:
-        with self.stats.timer.section("device_wait+fetch"):
-            host = np.asarray(fut)[:n_real, : 2 * self.nsamples]  # blocks
-        with self.stats.timer.section("sink_write"):
-            self.sink.write(host)
+        if self.drain_host:
+            with self.stats.timer.section("device_wait+fetch"):
+                host = np.asarray(fut)[:n_real, : 2 * self.nsamples]  # blocks
+            with self.stats.timer.section("sink_write"):
+                self.sink.write(host)
+        else:
+            # device-resident sink: hand over the (possibly still
+            # computing) device block — the sink consumes it on-device
+            # (e.g. a checksum reducer, or a downstream device DSP
+            # stage) and decides its own synchronization point.  The
+            # D2H tunnel never sees the samples.
+            with self.stats.timer.section("sink_write"):
+                self.sink.write(fut[:n_real, : 2 * self.nsamples])
         self.stats.epochs += n_real
         self.stats.samples += n_real * self.nsamples
         if self.status_cb is not None:

@@ -183,8 +183,17 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             chip_b = a0b_c + delta * dab_c
             chip_c = a0c_c + delta * dac_c
             bsel = b0_c + delta * db_c
-            d0, d1, d2 = sym_s[b, c, kap], sym_s[b, c, kap + 1], sym_s[b, c, kap + 2]
-            s0, s1, s2 = pil_s[b, c, kap], pil_s[b, c, kap + 1], pil_s[b, c, kap + 2]
+            # symbol windows arrive bit-packed (one int32 per (b, c):
+            # bit k set <=> symbol k is -1), so SMEM cost is
+            # C-independent; arithmetic >> then &1 extracts bit kap
+            wd = sym_s[b, c]
+            wp = pil_s[b, c]
+            d0 = 1.0 - 2.0 * ((wd >> kap) & 1).astype(jnp.float32)
+            d1 = 1.0 - 2.0 * ((wd >> (kap + 1)) & 1).astype(jnp.float32)
+            d2 = 1.0 - 2.0 * ((wd >> (kap + 2)) & 1).astype(jnp.float32)
+            s0 = 1.0 - 2.0 * ((wp >> kap) & 1).astype(jnp.float32)
+            s1 = 1.0 - 2.0 * ((wp >> (kap + 1)) & 1).astype(jnp.float32)
+            s2 = 1.0 - 2.0 * ((wp >> (kap + 2)) & 1).astype(jnp.float32)
             d_lo = d0 + w8_c * (d1 - d0)  # (1, P_PAD)
             d_df = (d1 + w8_c * (d2 - d1)) - d_lo
             s_lo = s0 + w8_c * (s1 - s0)
@@ -227,6 +236,19 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             out_q[0, rows] = amp * acc_q
 
 
+def _pack_pm1_bits(win) -> jax.Array:
+    """(B, C, W<=32) +-1 window -> (B, C) int32 bit mask (bit k set <=>
+    entry k is -1).  uint32 accumulate wraps bit 31 correctly."""
+    w = jnp.asarray(win)
+    W = w.shape[-1]
+    assert W <= 32, W
+    weights = jnp.asarray((1 << np.arange(W, dtype=np.uint64)) & 0xFFFFFFFF,
+                          jnp.uint32)
+    bits = (w < 0).astype(jnp.uint32)
+    packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    return packed.astype(jnp.int32)
+
+
 def _window_anchors(inputs: dict) -> tuple:
     """(B, C) slice anchors o and residuals r for the in-kernel DMA.
 
@@ -264,6 +286,21 @@ def synth_accum_kp_pallas(
     assert emit in ("f32", "int16"), emit
     cp0 = inputs["cp0"]
     B, C = cp0.shape
+    # SMEM budget guard: the scalar-prefetch operands pad each row to
+    # 128 lanes (B*128*4 bytes each); with the symbol windows bit-packed
+    # into one int32 per (B, C) there are 12 such scalars, independent
+    # of C — against the v5e's 1 MB SMEM (shared with runtime
+    # bookkeeping; with the unpacked f32 windows B=64 failed at C=12
+    # with "Used 1.31M of 1.00M smem").  Fail with advice instead of an
+    # opaque XLA compile OOM.
+    smem_bytes = B * 4 * 12 * 128
+    if smem_bytes > 480_000:
+        raise ValueError(
+            f"(B={B}, C={C}) scalar operands need ~{smem_bytes // 1024} KB"
+            " of padded SMEM (v5e budget ~470 KB after runtime overhead):"
+            " lower block_epochs (production streaming uses 8) or split "
+            "the epoch axis over a mesh"
+        )
     assert n_k % ROWS == 0, n_k
     n_kap = n_k // ROWS
     kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
@@ -310,7 +347,8 @@ def synth_accum_kp_pallas(
         f32("cp0"), f32("two_a"), f32("mu"), g0.astype(jnp.float32),
         o128.astype(jnp.int32), phase.astype(jnp.int32),
         r.astype(jnp.float32), f32("carr0"), f32("fc"), f32("fc_k"),
-        f32("sym_win"), f32("pilot_win"), ab,
+        _pack_pm1_bits(inputs["sym_win"]),
+        _pack_pm1_bits(inputs["pilot_win"]), ab,
         inputs["vpack_rs"],
     )
 

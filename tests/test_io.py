@@ -279,3 +279,46 @@ def test_pipeline_stop_terminates_promptly(nav, g0):
     stats = synth.run()
     assert 2 <= len(writes) <= 3  # stopped after the 2nd block
     assert stats.epochs < 49
+
+
+def test_device_resident_drain(nav, g0):
+    """drain_host=False hands device arrays to the sink (no D2H sample
+    fetch); a checksum-style sink must see the same totals as a host
+    drain."""
+    import jax.numpy as jnp
+
+    def mk_engine():
+        return ScenarioEngine(
+            nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+            g0, duration_s=0.5,
+        )
+
+    class DevSink(NullSink):
+        def __init__(self):
+            super().__init__()
+            self.totals = []
+
+        def write(self, blk):
+            assert not isinstance(blk, np.ndarray), "device array expected"
+            self.totals.append(float(jnp.sum(jnp.abs(blk.astype(jnp.int32)))))
+            self.samples += blk.shape[0] * blk.shape[1] // 2
+
+    dsink = DevSink()
+    StreamingSynthesizer(
+        mk_engine(), dsink, mode="lut512", tile=TILE, block_epochs=2,
+        nsamples=NS, drain_host=False,
+    ).run()
+
+    chunks = []
+
+    class Collect(NullSink):
+        def write(self, iq):
+            super().write(iq)
+            chunks.append(np.abs(np.array(iq, np.int32)).sum())
+
+    StreamingSynthesizer(
+        mk_engine(), Collect(), mode="lut512", tile=TILE, block_epochs=2,
+        nsamples=NS,
+    ).run()
+    assert len(dsink.totals) == len(chunks)
+    assert [int(t) for t in dsink.totals] == [int(c) for c in chunks]

@@ -111,3 +111,36 @@ def test_disabled_and_lowsat_fallback_ab(fix):
             ref = case["ref_delay"]
             assert ref > 0.5
             assert abs(d - ref) <= REL_TOL * abs(ref), case
+
+
+def test_physical_units_is_exact_rescale_of_ab_validated_path(fix):
+    """`physical_units=True` (the corrected group-delay model) and the
+    reference-parity quirk path share the whole MODIP/Az/Kronrod TEC
+    chain and differ only in the final scaling: the quirk divides the
+    range error by c a second time (iono.cpp:64-65) and drops the
+    (1e11 el/m^3)*km -> el/m^2 conversion (1e16).  So
+    physical = quirk * 1e16 * c exactly — which chains the A/B equality
+    above onto the physical mode: its TEC is the reference's TEC."""
+    from galileo_sdr_sim_tpu.constants import SPEED_OF_LIGHT
+
+    n = 0
+    for case in fix["cases"][::29]:
+        if case["kind"] != "nequick":
+            continue
+        quirk = _delay(fix, case)
+        phys = ionospheric_delay(
+            _iono_utc(fix, case),
+            GalTime(case["week"], case["sec"]),
+            case["user"],
+            case["sat"],
+            case["azel"],
+            CARR_FREQ,
+            physical_units=True,
+            quirk_fast_path=False,
+        )
+        assert phys > 0.1  # meter-scale, physically plausible
+        ratio = phys / quirk
+        expect = 1e16 * SPEED_OF_LIGHT
+        assert abs(ratio - expect) <= 1e-6 * expect, case
+        n += 1
+    assert n >= 10

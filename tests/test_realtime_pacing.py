@@ -49,6 +49,7 @@ class PacedDacConsumer:
         self.ring = ring
         self.total = total_samples
         self.underruns = 0
+        self.underrun_at = []  # signal-seconds where the DAC starved
         self.consumed = 0
         self.max_lead = 0
         self.min_avail_after_warmup = None
@@ -63,25 +64,28 @@ class PacedDacConsumer:
     def _run(self):
         chunk = SAMPLES_PER_BUFFER
         period = chunk / SAMP_RATE
-        # warmup: wait for the reference FIFO's worth of preload (the
+        # warmup: wait for a full reference FIFO of preload (0.2 s; the
         # reference waits for the first full epoch before starting
-        # tx_task, main.cpp:376-380)
-        warm_deadline = time.perf_counter() + 30.0
+        # tx_task, main.cpp:376-380, and its producer then runs ahead
+        # to fill the FIFO before the DAC can starve)
+        warm_deadline = time.perf_counter() + 60.0
         while (
-            self.ring.available < FIFO_LENGTH // 2
+            self.ring.available < FIFO_LENGTH - SAMPLES_PER_BUFFER
             and time.perf_counter() < warm_deadline
         ):
             time.sleep(0.005)
         next_t = time.perf_counter()
         while self.consumed < self.total:
             next_t += period
+            need = min(chunk, self.total - self.consumed)
             avail = self.ring.available
             self.max_lead = max(self.max_lead, avail)
             if self.min_avail_after_warmup is None or avail < self.min_avail_after_warmup:
                 self.min_avail_after_warmup = avail
-            if avail < chunk:
+            if avail < need:
                 self.underruns += 1
-            got = self.ring.read(min(chunk, self.total - self.consumed))
+                self.underrun_at.append(round(self.consumed / SAMP_RATE, 2))
+            got = self.ring.read(need)
             self.consumed += got.size // 2
             if got.size == 0:  # EOF
                 break
@@ -142,6 +146,8 @@ def test_realtime_pacing_contract():
     # >= 60 signal-seconds at the default duration; GALILEO_RT_DURATION
     # can shorten the run for smoke checks of the harness itself
     assert signal_s >= min(60.0, DURATION_S - 2.0)
-    assert dac.underruns == 0, f"{dac.underruns} DAC underruns"
+    assert dac.underruns == 0, (
+        f"{dac.underruns} DAC underruns at signal-s {dac.underrun_at[:10]}"
+    )
     # producer lead bounded by the ring capacity (backpressure held)
     assert dac.max_lead <= FIFO_LENGTH

@@ -157,3 +157,21 @@ def test_default_engine_is_xla_on_cpu(batch_1s):
     # the dispatcher must accept both names
     a = np.asarray(accum_kp(inputs, n_k=ROWS, engine="xla"))
     assert np.abs(a).max() > 0
+
+
+def test_smem_budget_guard_raises_with_advice():
+    """Epoch batches whose padded scalar operands exceed the v5e SMEM
+    budget must fail with actionable advice, not an opaque XLA compile
+    OOM.  With the symbol windows bit-packed the SMEM cost is
+    C-independent (12 scalars x B x 128 lanes): B=64 fits for any
+    C <= 16; B = 128 exceeds the budget."""
+    import pytest
+
+    from galileo_sdr_sim_tpu.ops.synth_kp_pallas import synth_accum_kp_pallas
+
+    inputs = {
+        "cp0": np.zeros((128, 8), np.float32),
+        "vpack_rs": np.zeros((1,), np.int8),  # presence check only
+    }
+    with pytest.raises(ValueError, match="lower block_epochs"):
+        synth_accum_kp_pallas(inputs, n_k=10400 // 1300, interpret=True)
