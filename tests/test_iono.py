@@ -1,4 +1,10 @@
-"""Ionosphere model tests (reference: src/iono.cpp)."""
+"""Ionosphere model smoke/plausibility tests (reference: src/iono.cpp).
+
+These are intentionally loose invariants (bounds, stability, fallback
+routing).  PARITY evidence lives in tests/test_iono_ref_ab.py: a
+655-case A/B against the *compiled reference* iono.cpp, equal to
+<= 1e-9 relative (measured 2e-14), with the physical-units mode pinned
+as an exact rescale of that validated TEC chain."""
 
 import numpy as np
 import pytest
