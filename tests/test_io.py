@@ -322,3 +322,32 @@ def test_device_resident_drain(nav, g0):
     ).run()
     assert len(dsink.totals) == len(chunks)
     assert [int(t) for t in dsink.totals] == [int(c) for c in chunks]
+
+
+def test_pipeline_equality_across_reallocation(nav, g0):
+    """Threaded (depth 4) vs serial (depth 1) streams must stay
+    byte-identical across the 30 s ephemeris-refresh/reallocation
+    boundary and the page rollovers inside it (producer-thread scenario
+    stepping must not reorder or double-step engine state)."""
+    def run(depth):
+        chunks = []
+
+        class Collect(NullSink):
+            def write(self, iq):
+                super().write(iq)
+                chunks.append(np.array(iq))
+
+        eng = ScenarioEngine(
+            nav, PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+            g0, duration_s=31.0,
+        )
+        StreamingSynthesizer(
+            eng, Collect(), mode="lut512", tile=TILE, block_epochs=8,
+            nsamples=2600, pipeline_depth=depth,
+        ).run()
+        return np.concatenate([c.reshape(-1) for c in chunks])
+
+    a = run(1)
+    b = run(4)
+    assert a.size == 309 * 2 * 2600
+    assert np.array_equal(a, b)
