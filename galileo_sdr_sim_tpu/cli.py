@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-epochs", type=int, default=None,
                    help="epochs per device call (default 8; 1 when -i for "
                         "low-latency live position updates)")
+    p.add_argument("--pipeline-depth", type=int, default=None,
+                   help="device blocks in flight ahead of the sink "
+                        "(io/stream.py: default 2, or 1 for live-position "
+                        "sources to keep the one-epoch update latency)")
     p.add_argument("--checkpoint", metavar="FILE",
                    help="snapshot scenario state every 30 s; resumes "
                         "automatically if the file exists")
@@ -360,6 +364,7 @@ def main(argv=None) -> int:
         engine, sink, mode=args.mode, synth_engine=args.engine,
         block_epochs=block_epochs, status_cb=status_cb,
         checkpoint_path=args.checkpoint, apply_gain=args.apply_gain,
+        pipeline_depth=args.pipeline_depth,
     )
 
     def _sigint(signum, frame):

@@ -270,11 +270,17 @@ class StreamingSynthesizer:
         err: list[BaseException] = []
 
         def produce() -> None:
+            # put() polls with a SHORT timeout: it only exists so stop()
+            # can interrupt a full-queue wait.  (A 50 ms poll here costs
+            # up to 50 ms of dead time per block handoff in steady state
+            # when the queue is full — measured as a 3.5x devsink
+            # throughput loss through the relay; 2 ms bounds the
+            # overhead at ~2% of a block.)
             try:
                 for item in self._device_blocks():
                     while not self._stop:
                         try:
-                            q.put(item, timeout=0.05)
+                            q.put(item, timeout=0.002)
                             break
                         except queue.Full:
                             continue
@@ -285,7 +291,7 @@ class StreamingSynthesizer:
             finally:
                 while True:
                     try:
-                        q.put(None, timeout=0.05)
+                        q.put(None, timeout=0.002)
                         return
                     except queue.Full:
                         if self._stop:
@@ -296,7 +302,7 @@ class StreamingSynthesizer:
         try:
             while True:
                 try:
-                    item = q.get(timeout=0.05)
+                    item = q.get(timeout=0.01)
                 except queue.Empty:
                     if err:
                         break
