@@ -303,6 +303,12 @@ def synth_accum_kp_pallas(
         )
     assert n_k % ROWS == 0, n_k
     n_kap = n_k // ROWS
+    # the symbol windows cover SYM_WIN=32 wraps; the kernel reads up to
+    # kap+2 (same bound the unpacked windows had, now a bit-shift bound)
+    assert n_kap + 2 <= 32, (
+        f"n_k={n_k} needs {n_kap + 2} symbol-window entries > 32; "
+        "split the call into <= 0.1 s epochs"
+    )
     kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
 
     g0, o, r = _window_anchors(inputs)
