@@ -378,21 +378,24 @@ def receiver_fix(
     acq_threshold: float = 8.0,
     min_sats: int = 4,
     n_noncoh: int = 1,
+    model=None,
 ) -> ReceiverFix | None:
     """Full receiver chain on a complex baseband stream: returns the PVT
     fix, or None when fewer than min_sats decode.  For noisy streams
     pass n_noncoh > 1 (non-coherent acquisition accumulation; see
-    rx_track.acquire)."""
+    rx_track.acquire).  `model` selects a matched correlator waveform
+    (e.g. models.cboc.E1_CBOC); default is the sine-BOC(1,1) replica the
+    reference's GNSS-SDR eval uses (conf cboc=false)."""
     prns = prn_candidates or list(range(1, MAX_SAT + 1))
     acqs: list[Acquisition] = []
     for prn in prns:
-        a = acquire(x, prn, n_noncoh=n_noncoh)
+        a = acquire(x, prn, n_noncoh=n_noncoh, model=model)
         if a.metric > acq_threshold:
             acqs.append(a)
     tracks: dict[int, TrackResult] = {}
     decodes: list[ChannelDecode] = []
     for a in acqs:
-        tr = track(x, a)
+        tr = track(x, a, model=model)
         dec = decode_channel(tr)
         if dec is not None and all(
             w in dec.words for w in (1, 2, 3, 4, 5)
