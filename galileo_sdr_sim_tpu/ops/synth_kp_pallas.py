@@ -267,6 +267,7 @@ def synth_accum_kp_pallas(
     n_k: int,
     interpret: bool = False,
     emit: str = "f32",
+    kap_tile: int | None = None,
 ) -> jax.Array:
     """Fused (v5) Pallas engine.
 
@@ -309,7 +310,14 @@ def synth_accum_kp_pallas(
         f"n_k={n_k} needs {n_kap + 2} symbol-window entries > 32; "
         "split the call into <= 0.1 s epochs"
     )
-    kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
+    if kap_tile is None:
+        # grid-program count is a real fixed cost (~10 us per Mosaic
+        # program instance); kap_tile trades program count against
+        # unrolled kernel size (the kt x C inner loops are Python-
+        # unrolled).  5 is the production default (320 programs at
+        # B=64); larger tiles are measurable via this parameter.
+        kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
+    assert n_kap % kap_tile == 0, (n_kap, kap_tile)
 
     g0, o, r = _window_anchors(inputs)
     o128 = (o // 128) * 128
