@@ -331,9 +331,15 @@ class StreamingSynthesizer:
             # computing) device block — the sink consumes it on-device
             # (e.g. a checksum reducer, or a downstream device DSP
             # stage) and decides its own synchronization point.  The
-            # D2H tunnel never sees the samples.
+            # D2H tunnel never sees the samples.  Skip the (eager,
+            # dispatch-costing) slice when the block is already exact —
+            # the common full-block case.
             with self.stats.timer.section("sink_write"):
-                self.sink.write(fut[:n_real, : 2 * self.nsamples])
+                shape = getattr(fut, "shape", None)
+                if shape == (n_real, 2 * self.nsamples):
+                    self.sink.write(fut)
+                else:
+                    self.sink.write(fut[:n_real, : 2 * self.nsamples])
         self.stats.epochs += n_real
         self.stats.samples += n_real * self.nsamples
         if self.status_cb is not None:
