@@ -310,13 +310,21 @@ def synth_accum_kp_pallas(
         f"n_k={n_k} needs {n_kap + 2} symbol-window entries > 32; "
         "split the call into <= 0.1 s epochs"
     )
+    C_pre = inputs["cp0"].shape[1]
     if kap_tile is None:
-        # grid-program count is a real fixed cost (~10 us per Mosaic
-        # program instance); kap_tile trades program count against
-        # unrolled kernel size (the kt x C inner loops are Python-
-        # unrolled).  5 is the production default (320 programs at
-        # B=64); larger tiles are measurable via this parameter.
-        kap_tile = next(t for t in (5, 4, 3, 2, 1) if n_kap % t == 0)
+        # grid-program count is a real per-call fixed cost (a few us per
+        # Mosaic program instance); kap_tile trades program count
+        # against unrolled kernel size (the kt x C inner loops are
+        # Python-unrolled, and their live temporaries count against the
+        # 16 MB scoped-VMEM stack).  Largest divisor with C*tile <= 200
+        # cut B=64 C<=8 from 320 to 64 programs: measured 5.41 -> 4.73
+        # ms/call (+13%) same-session, bit-identical (round 4); C=16
+        # with tile 25 exceeded scoped VMEM by 1.96 MB, so wide channel
+        # counts keep the smaller tile.
+        kap_tile = next(
+            t for t in (25, 20, 15, 10, 5, 4, 3, 2, 1)
+            if n_kap % t == 0 and C_pre * t <= 200
+        )
     assert n_kap % kap_tile == 0, (n_kap, kap_tile)
 
     g0, o, r = _window_anchors(inputs)
