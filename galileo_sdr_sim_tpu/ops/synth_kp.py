@@ -304,14 +304,19 @@ def prepare_kp_inputs(
         if code_cache is not None:
             code_cache.update(key=key, vpack=vpack, vpack_rs=vpack_rs)
 
+    # Gain is a SEPARATE (B, C) operand, never window amplitude: the
+    # Pallas engine bit-packs the symbol windows down to signs
+    # (_pack_pm1_bits), so amplitude encoded there would be silently
+    # dropped.  Both engines multiply the per-channel mix m by
+    # chan_gain[b, c] in the same op order, keeping them bit-identical
+    # on TPU (tests/test_synth_kp_pallas.py::test_pallas_gain_*).
     sym_f = batch.sym_win.astype(np.float32)
     pil_f = batch.pilot_win.astype(np.float32)
+    chan_gain = None
     if apply_gain:
         g = batch.gain.astype(np.float64) / 128.0  # path_loss*ant (unit-ish)
         peak = max(g.max(), 1e-9)
-        scale = (g / peak)[:, :, None].astype(np.float32)
-        sym_f = sym_f * scale
-        pil_f = pil_f * scale
+        chan_gain = (g / peak).astype(np.float32)  # (B, C) <= 1
 
     out = dict(
         cp0=jnp.asarray(batch.code_phase0, jnp.float32),  # (B, C) [chips]
@@ -328,6 +333,8 @@ def prepare_kp_inputs(
         out["vpack_rs"] = vpack_rs  # (C, 160, 11904) int8
     if cboc_ab is not None:
         out["cboc_ab"] = jnp.asarray(cboc_ab)  # (2,) f32 (alpha, beta)
+    if chan_gain is not None:
+        out["chan_gain"] = jnp.asarray(chan_gain)  # (B, C) f32 <= 1
     return out
 
 
@@ -432,6 +439,9 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
     }
     if cboc:
         xs["pgb"] = cm(gb - 2.0 * jnp.floor(gb * 0.5))  # parity(gb), (C,B,p)
+    use_gain = "chan_gain" in inputs
+    if use_gain:
+        xs["gain"] = cm(inputs["chan_gain"])  # (C, B)
 
     def body(carry, ch):
         acc_i, acc_q = carry
@@ -475,6 +485,10 @@ def synth_accum_kp(inputs: dict, n_k: int) -> jax.Array:
             m = (chip_b * wb) * d_val - (chip_c * wc) * s_val
         else:
             m = chip_b * d_val - chip_c * s_val  # (B, kap, rho, p)
+        if use_gain:
+            # per-channel amplitude AFTER the mix, same op order as the
+            # Pallas kernel (bit-identity on TPU)
+            m = m * ch["gain"][:, None, None, None]
 
         cis_r = (
             ch["ckr"][..., None] * ch["cpr"][:, None, None, :]

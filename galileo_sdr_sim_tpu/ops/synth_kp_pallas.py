@@ -72,9 +72,9 @@ _PL_ROWS = 53
 
 
 def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
-               fc_s, fck_s, sym_s, pil_s, ab_s, tab_hbm,
+               fc_s, fck_s, sym_s, pil_s, ab_s, gain_s, tab_hbm,
                out_i, out_q, planes, win, sems, *, C: int, kap_tile: int,
-               emit_i16: bool, cboc: bool):
+               emit_i16: bool, cboc: bool, use_gain: bool):
     b = pl.program_id(0)
     kap0 = pl.program_id(1) * kap_tile
     amp = jnp.float32(LUT_AMPLITUDE)
@@ -213,6 +213,11 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
                 m = (chip_b * wb) * d_val - (chip_c * wc) * s_val
             else:
                 m = chip_b * d_val - chip_c * s_val
+            if use_gain:
+                # per-channel path-loss/antenna amplitude — a separate
+                # SMEM scalar because the bit-packed symbol windows
+                # carry signs only (same op order as the XLA engine)
+                m = m * gain_s[b, c]
             # rank-1 carrier: K factor computed on an (8, 1) column
             ph_k = fck_s[b, c] * k8
             ph_k = ph_k - jnp.floor(ph_k)
@@ -238,10 +243,21 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
 
 def _pack_pm1_bits(win) -> jax.Array:
     """(B, C, W<=32) +-1 window -> (B, C) int32 bit mask (bit k set <=>
-    entry k is -1).  uint32 accumulate wraps bit 31 correctly."""
+    entry k is -1).  uint32 accumulate wraps bit 31 correctly.
+
+    The pack keeps SIGNS only — amplitude (e.g. per-channel gain) must
+    travel as a separate operand (inputs['chan_gain']), never as window
+    scaling.  Guarded below when the window is concrete (it is traced
+    when called under jit, where the check cannot run)."""
     w = jnp.asarray(win)
     W = w.shape[-1]
     assert W <= 32, W
+    if not isinstance(w, jax.core.Tracer):
+        mx = float(jnp.max(jnp.abs(w)))
+        assert mx <= 1.0 + 1e-6, (
+            f"symbol window carries amplitude (max |w| = {mx}); the "
+            "bit-pack would drop it — pass gain via inputs['chan_gain']"
+        )
     weights = jnp.asarray((1 << np.arange(W, dtype=np.uint64)) & 0xFFFFFFFF,
                           jnp.uint32)
     bits = (w < 0).astype(jnp.uint32)
@@ -289,12 +305,12 @@ def synth_accum_kp_pallas(
     B, C = cp0.shape
     # SMEM budget guard: the scalar-prefetch operands pad each row to
     # 128 lanes (B*128*4 bytes each); with the symbol windows bit-packed
-    # into one int32 per (B, C) there are 12 such scalars, independent
-    # of C — against the v5e's 1 MB SMEM (shared with runtime
-    # bookkeeping; with the unpacked f32 windows B=64 failed at C=12
-    # with "Used 1.31M of 1.00M smem").  Fail with advice instead of an
-    # opaque XLA compile OOM.
-    smem_bytes = B * 4 * 12 * 128
+    # into one int32 per (B, C) there are 13 such scalars (incl. the
+    # per-channel gain), independent of C — against the v5e's 1 MB SMEM
+    # (shared with runtime bookkeeping; with the unpacked f32 windows
+    # B=64 failed at C=12 with "Used 1.31M of 1.00M smem").  Fail with
+    # advice instead of an opaque XLA compile OOM.
+    smem_bytes = B * 4 * 13 * 128
     if smem_bytes > 480_000:
         raise ValueError(
             f"(B={B}, C={C}) scalar operands need ~{smem_bytes // 1024} KB"
@@ -337,6 +353,12 @@ def synth_accum_kp_pallas(
         if cboc
         else jnp.zeros((2,), jnp.float32)
     )
+    use_gain = "chan_gain" in inputs
+    gain = (
+        inputs["chan_gain"].astype(jnp.float32)
+        if use_gain
+        else jnp.ones((B, C), jnp.float32)
+    )
 
     sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     out_spec = pl.BlockSpec(
@@ -348,10 +370,10 @@ def synth_accum_kp_pallas(
     out_i, out_q = pl.pallas_call(
         functools.partial(
             _kernel_v5, C=C, kap_tile=kap_tile, emit_i16=emit == "int16",
-            cboc=cboc,
+            cboc=cboc, use_gain=use_gain,
         ),
         grid=(B, n_kap // kap_tile),
-        in_specs=[sspec()] * 13 + [
+        in_specs=[sspec()] * 14 + [
             pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
         ],
         out_specs=(out_spec, out_spec),
@@ -370,7 +392,7 @@ def synth_accum_kp_pallas(
         o128.astype(jnp.int32), phase.astype(jnp.int32),
         r.astype(jnp.float32), f32("carr0"), f32("fc"), f32("fc_k"),
         _pack_pm1_bits(inputs["sym_win"]),
-        _pack_pm1_bits(inputs["pilot_win"]), ab,
+        _pack_pm1_bits(inputs["pilot_win"]), ab, gain,
         inputs["vpack_rs"],
     )
 

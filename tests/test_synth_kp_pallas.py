@@ -175,3 +175,71 @@ def test_smem_budget_guard_raises_with_advice():
     }
     with pytest.raises(ValueError, match="lower block_epochs"):
         synth_accum_kp_pallas(inputs, n_k=10400 // 1300, interpret=True)
+
+
+def test_gain_is_separate_operand_not_window_amplitude(batch_1s):
+    """apply_gain must never scale the symbol windows (the Pallas
+    bit-pack keeps signs only — it would silently drop the gain); it
+    rides as a (B, C) chan_gain operand instead."""
+    inputs = prepare_kp_inputs(
+        batch_1s, ROWS * P_GRID, pack_g=True, apply_gain=True
+    )
+    assert "chan_gain" in inputs
+    g = np.asarray(inputs["chan_gain"])
+    assert g.max() <= 1.0 + 1e-6 and (g > 0).any()
+    # windows stayed pure signs
+    for k in ("sym_win", "pilot_win"):
+        w = np.asarray(inputs[k])
+        assert set(np.unique(np.abs(w))) <= {0.0, 1.0}, k
+
+
+def test_xla_gain_scales_each_channel(batch_1s):
+    """f32 accumulator with chan_gain == sum_c g_c * (per-channel
+    accumulator without gain), to f32 tolerance."""
+    n_k = ROWS
+    base = prepare_kp_inputs(batch_1s, ROWS * P_GRID, pack_g=True)
+    gained = prepare_kp_inputs(
+        batch_1s, ROWS * P_GRID, pack_g=True, apply_gain=True
+    )
+    acc_g = np.asarray(synth_accum_kp(gained, n_k=n_k))
+    g = np.asarray(gained["chan_gain"])  # (B, C)
+    B, C = g.shape
+    # per-channel accumulators: zero out all other channels' windows via
+    # a one-channel gain mask (exactly 0/1 -> exact channel isolation)
+    expect = np.zeros_like(acc_g)
+    for c in range(C):
+        one = dict(base)
+        mask = np.zeros_like(g)
+        mask[:, c] = 1.0
+        one["chan_gain"] = jnp.asarray(mask)
+        expect = expect + g[:, c, None, None] * np.asarray(
+            synth_accum_kp(one, n_k=n_k)
+        )
+    np.testing.assert_allclose(acc_g, expect, rtol=2e-5, atol=2e-3)
+
+
+def test_pallas_gain_matches_xla_interpret(batch_1s):
+    """The Pallas kernel applies chan_gain with the same op order as the
+    XLA engine (interpreter tolerance class as the other parity tests;
+    bit-identity on TPU is pinned by tools/tpu_parity_check.py)."""
+    n_k = ROWS
+    inputs = prepare_kp_inputs(
+        batch_1s, ROWS * P_GRID, pack_g=True, apply_gain=True
+    )
+    assert "chan_gain" in inputs
+    ref = np.asarray(jax.jit(lambda i: synth_accum_kp(i, n_k=n_k))(inputs))
+    out = np.asarray(synth_accum_kp_pallas(inputs, n_k=n_k, interpret=True))
+    mismatch = np.abs(out - ref) > 1e-2
+    assert mismatch.mean() < 1e-3, mismatch.mean()
+    np.testing.assert_allclose(out[~mismatch], ref[~mismatch], atol=1e-2)
+    # and the gain actually attenuated the mix vs the ungained stream
+    base = prepare_kp_inputs(batch_1s, ROWS * P_GRID, pack_g=True)
+    acc0 = np.asarray(synth_accum_kp(base, n_k=n_k))
+    assert np.abs(out).mean() < np.abs(acc0).mean()
+
+
+def test_pack_pm1_bits_rejects_amplitude():
+    from galileo_sdr_sim_tpu.ops.synth_kp_pallas import _pack_pm1_bits
+
+    with pytest.raises(AssertionError, match="chan_gain"):
+        _pack_pm1_bits(np.full((1, 1, 8), 2.0, np.float32))

@@ -120,7 +120,14 @@ def main() -> int:
     rng = np.random.default_rng(20260820)
     cases = 0
     failures = []
-    for B, n_k, cboc in [s + (False,) for s in SHAPES] + [(8, 40, True)]:
+    # variants: plain sine-BOC across SHAPES, the CBOC weight branch,
+    # and the per-channel gain branch (chan_gain SMEM operand) — each
+    # adds ops to BOTH engines; all must stay bit-identical
+    variants = (
+        [s + ("boc",) for s in SHAPES] + [(8, 40, "cboc"), (8, 40, "gain")]
+    )
+    for B, n_k, variant in variants:
+        cboc = variant == "cboc"
         inputs = {
             k: (v if k in ("vpack", "vpack_rs") else v[:B])
             for k, v in base.items()
@@ -131,17 +138,24 @@ def main() -> int:
             from galileo_sdr_sim_tpu.models.cboc import ALPHA, BETA
 
             inputs["cboc_ab"] = jnp.asarray([ALPHA, BETA], jnp.float32)
+        if variant == "gain":
+            gshape = np.asarray(inputs["cp0"]).shape
+            inputs["chan_gain"] = jnp.asarray(
+                rng.uniform(0.05, 1.0, gshape).astype(np.float32)
+            )
         for seed in range(n_seeds):
             inp = perturb(inputs, rng, seed) if seed else inputs
             if cboc:
                 inp["cboc_ab"] = inputs["cboc_ab"]
+            if variant == "gain":
+                inp["chan_gain"] = inputs["chan_gain"]
             out_p = np.asarray(synth_block_kp(inp, n_k=n_k, engine="pallas"))
             out_x = np.asarray(synth_block_kp(inp, n_k=n_k, engine="xla"))
             cases += 1
             if not np.array_equal(out_p, out_x):
                 nbad = int(np.sum(out_p != out_x))
                 failures.append(
-                    {"B": B, "n_k": n_k, "cboc": cboc, "seed": seed,
+                    {"B": B, "n_k": n_k, "variant": variant, "seed": seed,
                      "mismatches": nbad}
                 )
     print(
