@@ -24,16 +24,43 @@ _TAB_FIELDS = ("prn", "f_carr", "f_code", "code_phase0", "carr_phase0",
                "ibit0", "sym_win", "pilot_win", "gain", "azel")
 
 
-def save_state(engine: ScenarioEngine, path: str | Path) -> None:
-    """Snapshot engine state after the most recent *yielded* epoch.
+def save_state(
+    engine: ScenarioEngine,
+    path: str | Path,
+    drained_iumd: int | None = None,
+) -> None:
+    """Snapshot engine state after the most recent *yielded* epoch — or,
+    with `drained_iumd`, after the last epoch actually DRAINED to the
+    sink.
 
     The chunked scenario fast-path commits engine state a whole chunk
     ahead of the epochs actually consumed, so the not-yet-yielded lookahead
-    tabs are serialized too — resume is exact even mid-chunk."""
+    tabs are serialized too — resume is exact even mid-chunk.
+
+    A pipelined consumer (io/stream.py) additionally holds yielded-but-
+    not-drained blocks in flight; `drained_iumd` rewinds the snapshot to
+    the sink's position by re-buffering the in-flight tabs from the
+    engine's replay ring (`engine._replay_keep` must cover the pipeline
+    depth), so a crash+resume replays them instead of skipping their
+    samples."""
     chans = engine.bank.channels
+    pending = list(engine._pending)
+    next_iumd = engine._next_iumd
+    if drained_iumd is not None and drained_iumd < next_iumd - 1:
+        need = list(range(drained_iumd + 1, next_iumd))
+        have = {i: t for i, t in engine._replay}
+        missing = [i for i in need if i not in have]
+        if missing:
+            raise ValueError(
+                f"cannot rewind snapshot to drained epoch {drained_iumd}: "
+                f"replay ring is missing epochs {missing[:4]}... — raise "
+                "engine._replay_keep to cover the pipeline depth"
+            )
+        pending = [have[i] for i in need] + pending
+        next_iumd = drained_iumd + 1
     meta = {
-        "next_iumd": engine._next_iumd,
-        "pending_n": len(engine._pending),
+        "next_iumd": next_iumd,
+        "pending_n": len(pending),
         "grx_week": engine.grx.week,
         "grx_sec": engine.grx.sec,
         "g0_week": engine.g0.week,
@@ -65,13 +92,11 @@ def save_state(engine: ScenarioEngine, path: str | Path) -> None:
         ]
     )
     arrays = {"pages": pages}
-    if engine._pending:
-        arrays["pending_grx_sec"] = np.array(
-            [t.grx_sec for t in engine._pending]
-        )
+    if pending:
+        arrays["pending_grx_sec"] = np.array([t.grx_sec for t in pending])
         for f in _TAB_FIELDS:
             arrays[f"pending_{f}"] = np.stack(
-                [getattr(t, f) for t in engine._pending]
+                [getattr(t, f) for t in pending]
             )
     path = Path(path)
     np.savez_compressed(path.with_suffix(".npz"), **arrays)

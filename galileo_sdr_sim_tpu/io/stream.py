@@ -158,6 +158,11 @@ class StreamingSynthesizer:
         self.checkpoint_every = checkpoint_every  # epochs between snapshots
         self._start_epoch = 1
         if checkpoint_path is not None:
+            # snapshots rewind to the last DRAINED epoch (the producer
+            # runs up to pipeline_depth+1 blocks ahead of the sink); the
+            # engine's replay ring must cover those in-flight epochs
+            engine._replay_keep = (self.pipeline_depth + 2) * block_epochs
+        if checkpoint_path is not None:
             from pathlib import Path
 
             if Path(checkpoint_path).with_suffix(".json").exists():
@@ -268,6 +273,7 @@ class StreamingSynthesizer:
             return self.stats
         q: queue.Queue = queue.Queue(maxsize=self.pipeline_depth)
         err: list[BaseException] = []
+        done_ev = threading.Event()
 
         def produce() -> None:
             # put() polls with a SHORT timeout: it only exists so stop()
@@ -289,13 +295,10 @@ class StreamingSynthesizer:
             except BaseException as e:  # propagate to the drain thread
                 err.append(e)
             finally:
-                while True:
-                    try:
-                        q.put(None, timeout=0.002)
-                        return
-                    except queue.Full:
-                        if self._stop:
-                            return
+                # completion travels out-of-band (an Event can never
+                # block or spin, unlike an in-queue sentinel that needs
+                # a free slot — the drain side may already be gone)
+                done_ev.set()
 
         th = threading.Thread(target=produce, name="stream-producer")
         th.start()
@@ -304,11 +307,9 @@ class StreamingSynthesizer:
                 try:
                     item = q.get(timeout=0.01)
                 except queue.Empty:
-                    if err:
+                    if err or (done_ev.is_set() and q.empty()):
                         break
                     continue
-                if item is None:
-                    break
                 self._drain(*item)
                 if self._stop:
                     break
@@ -352,6 +353,13 @@ class StreamingSynthesizer:
 
             # engine lock: the producer thread must not step the scenario
             # mid-snapshot (resume is exact because the engine's pending
-            # buffer is serialized with it, checkpoint.py)
+            # buffer is serialized with it, checkpoint.py).  drained_iumd
+            # rewinds the snapshot to what the SINK has received — the
+            # producer may be pipeline_depth+1 blocks ahead, and resume
+            # must replay those in-flight epochs, not skip them.
             with self._engine_lock:
-                save_state(self.engine, self.checkpoint_path)
+                save_state(
+                    self.engine,
+                    self.checkpoint_path,
+                    drained_iumd=self._start_epoch - 1 + self.stats.epochs,
+                )

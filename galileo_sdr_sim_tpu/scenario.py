@@ -156,6 +156,14 @@ class ScenarioEngine:
         self._pending: list[EpochStateTable] = []
         self._pending_base: int = 0  # iumd of _pending[0]
         self._next_iumd: int = 1  # next epoch index to be yielded
+        # replay ring of recently YIELDED tabs (iumd, tab): a pipelined
+        # consumer (io/stream.py, pipeline_depth >= 1) holds yielded-but-
+        # not-yet-drained blocks in flight, and a checkpoint must be able
+        # to rewind to the last epoch the sink actually received —
+        # checkpoint.save_state re-buffers these tabs as pending.  0 =
+        # keep nothing (non-checkpointing callers pay no cost).
+        self._replay_keep: int = 0
+        self._replay: list[tuple[int, EpochStateTable]] = []
 
         llh0 = self.position.llh_deg(0)
         xyz0 = geodesy.llh2xyz(np.array([llh0[0] / R2D, llh0[1] / R2D, llh0[2]]))
@@ -189,6 +197,7 @@ class ScenarioEngine:
             for iumd in range(start, self.numd):
                 tab = self._step(iumd)
                 self._next_iumd = iumd + 1
+                self._record_replay(iumd, tab)
                 yield tab
             return
         if self._pending and self._pending_base == start:
@@ -209,7 +218,14 @@ class ScenarioEngine:
             tab = self._pending.pop(0)
             self._pending_base += 1
             self._next_iumd = self._pending_base
+            self._record_replay(self._next_iumd - 1, tab)
             yield tab
+
+    def _record_replay(self, iumd: int, tab: EpochStateTable) -> None:
+        if self._replay_keep:
+            self._replay.append((iumd, tab))
+            if len(self._replay) > self._replay_keep:
+                del self._replay[: len(self._replay) - self._replay_keep]
 
     def _chunk_len(self, iumd: int) -> int:
         """Epochs from iumd up to and including the next reallocation

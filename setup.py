@@ -4,8 +4,10 @@ checkout.  All metadata lives in pyproject.toml.
 
 The "extension" is a plain C-ABI shared library consumed via ctypes
 (galileo_sdr_sim_tpu/io/native_fifo.py) — it is never imported as a
-Python module, so no PyInit symbol is needed; py_limited_api keeps the
-filename predictable enough for the ctypes loader's glob."""
+Python module, so no PyInit symbol is needed.  The built file keeps the
+full version+platform-tagged suffix; the ctypes loader resolves it via
+importlib.util.find_spec on the module origin, so the filename never
+needs to be predicted."""
 
 from setuptools import Extension, setup
 from setuptools.command.build_ext import build_ext

@@ -60,3 +60,64 @@ def test_streaming_resume(nav, g0, tmp_path):
     assert s2._start_epoch > 1
     stats2 = s2.run()
     assert stats2.epochs == 9 - (s2._start_epoch - 1)
+
+
+def test_pipelined_resume_does_not_skip_inflight_blocks(nav, g0, tmp_path):
+    """With a threaded producer running pipeline_depth blocks ahead of
+    the sink, a snapshot must record the SINK's position and re-buffer
+    the in-flight epochs; crash+resume then replays them instead of
+    silently skipping their samples (advisor r4, io/stream.py).  Pinned
+    bit-exactly: drained-before-crash + resumed output == one serial
+    uninterrupted run."""
+    from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
+
+    NS = 10400
+
+    class Collect:
+        def __init__(self, stop_after=None):
+            self.blocks = []
+            self.stop_after = stop_after
+            self.synth = None
+
+        def write(self, b):
+            self.blocks.append(np.asarray(b).copy())
+            if self.stop_after and len(self.blocks) >= self.stop_after:
+                self.synth.stop()
+
+        def close(self):
+            pass
+
+    ref_sink = Collect()
+    StreamingSynthesizer(
+        _mk(nav, g0, 2.0), ref_sink, synth_engine="kp", nsamples=NS,
+        block_epochs=2, pipeline_depth=1,
+    ).run()
+    ref = np.concatenate(ref_sink.blocks)
+
+    # crash mid-run: snapshot every block, sink dies after 3 blocks
+    # (6 epochs) while the producer is up to 4 blocks ahead
+    ck = str(tmp_path / "pipe_ckpt")
+    s1_sink = Collect(stop_after=3)
+    s1 = StreamingSynthesizer(
+        _mk(nav, g0, 2.0), s1_sink, synth_engine="kp", nsamples=NS,
+        block_epochs=2, pipeline_depth=3, checkpoint_path=ck,
+        checkpoint_every=2,
+    )
+    s1_sink.synth = s1
+    s1.run()
+    drained = sum(b.shape[0] for b in s1_sink.blocks)
+    assert drained == 6
+
+    s2_sink = Collect()
+    s2 = StreamingSynthesizer(
+        _mk(nav, g0, 2.0), s2_sink, synth_engine="kp", nsamples=NS,
+        block_epochs=2, pipeline_depth=3, checkpoint_path=ck,
+        checkpoint_every=10_000,
+    )
+    # the old snapshot recorded the PRODUCER's position (epochs ahead of
+    # the sink); the fixed one resumes exactly after the drained epochs
+    assert s2._start_epoch == drained + 1
+    s2.run()
+    combined = np.concatenate(s1_sink.blocks + s2_sink.blocks)
+    assert combined.shape == ref.shape
+    np.testing.assert_array_equal(combined, ref)
