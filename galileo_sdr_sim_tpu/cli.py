@@ -117,8 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "low-latency live position updates)")
     p.add_argument("--pipeline-depth", type=int, default=None,
                    help="device blocks in flight ahead of the sink "
-                        "(io/stream.py: default 2, or 1 for live-position "
-                        "sources to keep the one-epoch update latency)")
+                        "(default 1: single-thread prep-then-drain, which "
+                        "measures fastest and keeps the one-epoch live-"
+                        "position latency; >=2 adds a producer thread)")
     p.add_argument("--checkpoint", metavar="FILE",
                    help="snapshot scenario state every 30 s; resumes "
                         "automatically if the file exists")
