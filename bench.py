@@ -95,6 +95,7 @@ def main() -> int:
         default_engine,
         prepare_kp_inputs,
         synth_block_kp,
+        synth_block_kp_packed,
     )
     from galileo_sdr_sim_tpu.rinex import read_rinex_v3
     from galileo_sdr_sim_tpu.scenario import (
@@ -144,9 +145,17 @@ def main() -> int:
                 inp = dict(inputs)
                 inp["carr0"] = inputs["carr0"] + carry * 1e-9
                 inp["cp0"] = inputs["cp0"] + carry * 1e-9
-                out = synth_block_kp(inp, n_k=K_EPOCH, engine=engine)
+                # packed int32 I/Q — the production stream format.
+                # Consumption reads one lane-ALIGNED 128-lane slab
+                # (~6.5 MB): any read forces the opaque kernel to
+                # complete, while a full-buffer or lane-strided scan
+                # would re-measure the CONSUMER's HBM read (~1.2 ms at
+                # the device's measured ~60-85 GB/s effective
+                # bandwidth), not the kernel (docs/kernel_design.md,
+                # round-5 addendum).
+                out = synth_block_kp_packed(inp, n_k=K_EPOCH, engine=engine)
                 return carry + jnp.sum(
-                    out[:, ::2626].astype(jnp.float32)
+                    out[:, :, :128].astype(jnp.float32)
                 ) * 1e-12
             return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
 
@@ -217,8 +226,12 @@ def main() -> int:
             cases.append(inp)
         parity_ok = True
         for inp in cases:
-            out_p = np.asarray(synth_block_kp(inp, n_k=K_EPOCH, engine="pallas"))
-            out_x = np.asarray(synth_block_kp(inp, n_k=K_EPOCH, engine="xla"))
+            out_p = np.asarray(
+                synth_block_kp_packed(inp, n_k=K_EPOCH, engine="pallas")
+            )
+            out_x = np.asarray(
+                synth_block_kp_packed(inp, n_k=K_EPOCH, engine="xla")
+            )
             parity_cases += 1
             parity_ok = parity_ok and bool(np.array_equal(out_p, out_x))
 
@@ -302,7 +315,7 @@ def main() -> int:
     # instead of 26 MB), so executor overhead is visible without the
     # D2H tunnel cap.
     csum = jax.jit(
-        lambda o: jnp.sum(o[:, ::1001].astype(jnp.float32))
+        lambda o: jnp.sum(o[:, :, :128].astype(jnp.float32))
     )
     DEV_DUR = 20.0
 
@@ -312,7 +325,7 @@ def main() -> int:
         )
 
     # warm both compiles (same shapes as the loop) outside the timing
-    _w = synth_block_kp(inputs, n_k=K_EPOCH, engine=engine)
+    _w = synth_block_kp_packed(inputs, n_k=K_EPOCH, engine=engine)
     float(csum(_w))
 
     def devsink_serial():
@@ -326,7 +339,7 @@ def main() -> int:
                 batch, NUM_IQ_SAMPLES, pad_epochs=B, code_cache=cache_d,
                 pack_g=engine == "pallas",
             )
-            out = synth_block_kp(inputs_d, n_k=K_EPOCH, engine=engine)
+            out = synth_block_kp_packed(inputs_d, n_k=K_EPOCH, engine=engine)
             sums.append(csum(out))
             dev_epochs += batch.f_code.shape[0]
         float(sum(float(s) for s in sums))  # drain the device queue
@@ -337,8 +350,11 @@ def main() -> int:
             self.sums = []
 
         def write(self, blk):
-            self.sums.append(csum(blk) if not isinstance(blk, np.ndarray)
-                             else float(blk[:, ::1001].astype(np.float32).sum()))
+            self.sums.append(
+                csum(blk) if not isinstance(blk, np.ndarray)
+                else float(blk.reshape(blk.shape[0], -1)[:, :128]
+                           .astype(np.float32).sum())
+            )
 
         def close(self):
             pass

@@ -30,8 +30,9 @@ from ..ops.synth_kp import (
     ROWS,
     default_engine,
     mu_in_envelope,
+    packed_to_iq16,
     prepare_kp_inputs,
-    synth_block_kp,
+    synth_block_kp_packed,
 )
 from ..scenario import EpochStateTable, ScenarioEngine
 from .sinks import Sink
@@ -208,7 +209,12 @@ class StreamingSynthesizer:
                         apply_gain=self.apply_gain,
                         pack_g=self.synth_engine == "kp_pallas",
                     )
-                    fut = synth_block_kp(
+                    # packed int32 I/Q: the tile-aligned device format —
+                    # the flat (B, 2*n) int16 layout costs a
+                    # lane-unaligned relayout on TPU (~3.5 ms per B=64
+                    # call); the drain views packed bytes as int16 for
+                    # free (synth_kp.packed_to_iq16)
+                    fut = synth_block_kp_packed(
                         inputs,
                         n_k=self.nsamples // P_GRID,
                         engine="pallas" if self.synth_engine == "kp_pallas" else "xla",
@@ -336,7 +342,10 @@ class StreamingSynthesizer:
     def _drain(self, batch, fut, n_real: int) -> None:
         if self.drain_host:
             with self.stats.timer.section("device_wait+fetch"):
-                host = np.asarray(fut)[:n_real, : 2 * self.nsamples]  # blocks
+                host = np.asarray(fut)
+                if host.ndim == 3:  # packed int32 I/Q -> free int16 view
+                    host = packed_to_iq16(host)
+                host = host[:n_real, : 2 * self.nsamples]
             with self.stats.timer.section("sink_write"):
                 self.sink.write(host)
         else:
@@ -344,12 +353,18 @@ class StreamingSynthesizer:
             # computing) device block — the sink consumes it on-device
             # (e.g. a checksum reducer, or a downstream device DSP
             # stage) and decides its own synchronization point.  The
-            # D2H tunnel never sees the samples.  Skip the (eager,
-            # dispatch-costing) slice when the block is already exact —
-            # the common full-block case.
+            # D2H tunnel never sees the samples.  kp blocks arrive in
+            # the packed int32 layout (B, n_k, 1300); fallback blocks
+            # as flat int16.  Skip the (eager, dispatch-costing) slice
+            # when the block is already exact — the common full-block
+            # case.
             with self.stats.timer.section("sink_write"):
                 shape = getattr(fut, "shape", None)
-                if shape == (n_real, 2 * self.nsamples):
+                if shape is not None and len(shape) == 3:  # packed kp
+                    self.sink.write(
+                        fut if shape[0] == n_real else fut[:n_real]
+                    )
+                elif shape == (n_real, 2 * self.nsamples):
                     self.sink.write(fut)
                 else:
                     self.sink.write(fut[:n_real, : 2 * self.nsamples])

@@ -530,6 +530,43 @@ def accum_kp(inputs: dict, n_k: int, engine: str = "xla") -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("n_k", "engine"))
+def synth_block_kp_packed(
+    inputs: dict, n_k: int = K_EPOCH, engine: str = "xla"
+) -> jax.Array:
+    """(B, n_k, 1300) int32 packed I/Q — the PRODUCTION stream format.
+
+    Each word is the little-endian pack of one sample's int16 pair
+    (I in the low 16 bits, Q in the high), so the array's byte stream
+    equals the reference's interleaved int16 format and the host-side
+    flatten is a free view (packed_to_iq16).  This exists because the
+    flat (B, 2*n_k*1300) layout costs a lane-unaligned relayout on TPU
+    (1300 % 128 != 0: ~3.5 ms per B=64 call, ~half the call — measured
+    round 5, tools/probe_kernel_cost.py); the packed layout keeps every
+    row tile-aligned end to end.  Engines are bit-identical on TPU
+    (same trunc + two's-complement pack).  Reference format:
+    src/galileo-sdr.cpp:536-542 (interleaved (short) I/Q)."""
+    if engine == "pallas":
+        from .synth_kp_pallas import synth_accum_kp_pallas
+
+        return synth_accum_kp_pallas(inputs, n_k=n_k, emit="i32pack")
+    acc = accum_kp(inputs, n_k=n_k, engine=engine)  # (B, n_k*1300, 2)
+    B = acc.shape[0]
+    i16 = jnp.trunc(acc).astype(jnp.int32)
+    w = (i16[..., 0] & 0xFFFF) | (i16[..., 1] << 16)
+    return w.reshape(B, n_k, P_GRID)
+
+
+def packed_to_iq16(packed: np.ndarray) -> np.ndarray:
+    """Host-side free flatten: (B, n_k, 1300) int32 packed I/Q ->
+    (B, 2*n_k*1300) interleaved int16 (a view when contiguous)."""
+    import sys
+
+    assert sys.byteorder == "little", "packed I/Q view needs little-endian"
+    arr = np.ascontiguousarray(packed)
+    return arr.view(np.int16).reshape(arr.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_k", "engine"))
 def synth_block_kp(
     inputs: dict, n_k: int = K_EPOCH, engine: str = "xla"
 ) -> jax.Array:
@@ -553,8 +590,9 @@ def synth_batch_kp_host(
     nsamples: int = NUM_IQ_SAMPLES,
     engine: str | None = None,
 ) -> np.ndarray:
-    """Convenience wrapper -> (B, 2*nsamples) int16 on host."""
+    """Convenience wrapper -> (B, 2*nsamples) int16 on host (via the
+    packed device format; bytes identical to synth_block_kp)."""
     engine = engine or default_engine()
     inputs = prepare_kp_inputs(batch, nsamples, pack_g=engine == "pallas")
-    out = synth_block_kp(inputs, n_k=nsamples // P_GRID, engine=engine)
-    return np.asarray(out)[:, : 2 * nsamples]
+    out = synth_block_kp_packed(inputs, n_k=nsamples // P_GRID, engine=engine)
+    return packed_to_iq16(np.asarray(out))[:, : 2 * nsamples]

@@ -73,8 +73,16 @@ _PL_ROWS = 53
 
 def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
                fc_s, fck_s, sym_s, pil_s, ab_s, gain_s, tab_hbm,
-               out_i, out_q, planes, win, sems, *, C: int, kap_tile: int,
-               emit_i16: bool, cboc: bool, use_gain: bool):
+               *rest, C: int, kap_tile: int,
+               emit: str, cboc: bool, use_gain: bool,
+               sections: tuple = ("prologue", "main")):
+    # `sections` exists for cost attribution probes only
+    # (tools/probe_kernel_cost.py): dropping "prologue" leaves scratch
+    # garbage, dropping "main" writes nothing useful — never production.
+    if emit == "i32pack":
+        out_w, planes, win, sems = rest
+    else:
+        out_i, out_q, planes, win, sems = rest
     b = pl.program_id(0)
     kap0 = pl.program_id(1) * kap_tile
     amp = jnp.float32(LUT_AMPLITUDE)
@@ -96,7 +104,7 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             tab_hbm.at[c, :, pl.ds(o128, W_WIN)], win.at[c], sems.at[c]
         )
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(1) == (0 if "prologue" in sections else -1))
     def _fill_planes():
         for c in range(C):
             _win_dma(c).start()
@@ -165,6 +173,8 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
                 # exact integer in f32 so the mod-2 is exact
                 planes[c, 52:53] = rot(gb - 2.0 * jnp.floor(gb * 0.5))
 
+    if "main" not in sections:
+        return
     rho_par = rho8 - 2.0 * jnp.floor(rho8 * 0.5)  # (8, 1) K parity
     for kt in range(kap_tile):
         kap = kap0 + kt
@@ -231,7 +241,19 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             acc_i = v_i if c == 0 else acc_i + v_i
             acc_q = v_q if c == 0 else acc_q + v_q
         rows = slice(kt * ROWS, (kt + 1) * ROWS)
-        if emit_i16:
+        if emit == "i32pack":
+            # the reference's (short) cast truncates toward zero
+            # (galileo-sdr.cpp:536-537); the two int16 components are
+            # packed into ONE little-endian int32 word (I low, Q high),
+            # whose byte stream IS the interleaved int16 I/Q format —
+            # the host views it as int16 for free, skipping the
+            # lane-unaligned stack/flatten relayout that cost ~3.5 ms
+            # per B=64 call in the XLA epilogue (1300 % 128 != 0;
+            # tools/probe_kernel_cost.py, round 5)
+            ii = jnp.trunc(amp * acc_i).astype(jnp.int32)
+            qq = jnp.trunc(amp * acc_q).astype(jnp.int32)
+            out_w[0, rows] = (ii & 0xFFFF) | (qq << 16)
+        elif emit == "int16":
             # the reference's (short) cast truncates toward zero
             # (galileo-sdr.cpp:536-537)
             out_i[0, rows] = jnp.trunc(amp * acc_i).astype(jnp.int16)
@@ -284,6 +306,7 @@ def synth_accum_kp_pallas(
     interpret: bool = False,
     emit: str = "f32",
     kap_tile: int | None = None,
+    _sections: tuple = ("prologue", "main"),
 ) -> jax.Array:
     """Fused (v5) Pallas engine.
 
@@ -293,14 +316,23 @@ def synth_accum_kp_pallas(
 
     emit="int16": additionally truncates and packs in-kernel —
     (B, 2*n_k*1300) interleaved int16, the full synth_block_kp output,
-    skipping the separate full-size quantization pass.
+    skipping the separate full-size quantization pass.  NOTE: the final
+    flatten is a lane-UNALIGNED relayout (1300 % 128 != 0) costing
+    ~3.5 ms per B=64 call in XLA — the production stream path uses
+    emit="i32pack" instead.
+
+    emit="i32pack": truncates AND interleaves in-kernel by packing each
+    I/Q int16 pair into one little-endian int32 (I low half, Q high) —
+    (B, n_k, 1300) int32 whose byte stream equals the interleaved int16
+    format; np.asarray(...).view(np.int16) is the free host-side
+    flatten (synth_kp.packed_to_iq16).
     """
     if "vpack_rs" not in inputs:
         raise ValueError(
             "the Pallas engine needs the pre-resampled code table: call "
             "prepare_kp_inputs(..., pack_g=True)"
         )
-    assert emit in ("f32", "int16"), emit
+    assert emit in ("f32", "int16", "i32pack"), emit
     cp0 = inputs["cp0"]
     B, C = cp0.shape
     # SMEM budget guard: the scalar-prefetch operands pad each row to
@@ -365,22 +397,28 @@ def synth_accum_kp_pallas(
         (1, ROWS * kap_tile, P_PAD), lambda b, kap: (b, kap, 0),
         memory_space=pltpu.VMEM,
     )
-    out_dtype = jnp.int16 if emit == "int16" else jnp.float32
+    if emit == "i32pack":
+        out_specs = out_spec
+        out_shape = jax.ShapeDtypeStruct((B, n_k, P_PAD), jnp.int32)
+    else:
+        out_dtype = jnp.int16 if emit == "int16" else jnp.float32
+        out_specs = (out_spec, out_spec)
+        out_shape = (
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), out_dtype),
+            jax.ShapeDtypeStruct((B, n_k, P_PAD), out_dtype),
+        )
     f32 = lambda k: inputs[k].astype(jnp.float32)  # noqa: E731
-    out_i, out_q = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
-            _kernel_v5, C=C, kap_tile=kap_tile, emit_i16=emit == "int16",
-            cboc=cboc, use_gain=use_gain,
+            _kernel_v5, C=C, kap_tile=kap_tile, emit=emit,
+            cboc=cboc, use_gain=use_gain, sections=_sections,
         ),
         grid=(B, n_kap // kap_tile),
         in_specs=[sspec()] * 14 + [
             pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
         ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, n_k, P_PAD), out_dtype),
-            jax.ShapeDtypeStruct((B, n_k, P_PAD), out_dtype),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((C, _PL_ROWS, P_PAD), jnp.float32),
             pltpu.VMEM((C, W_RS, W_WIN), jnp.int8),
@@ -396,6 +434,12 @@ def synth_accum_kp_pallas(
         inputs["vpack_rs"],
     )
 
+    if emit == "i32pack":
+        # lane-ALIGNED crop only (each (b, k) row keeps its tile
+        # alignment); the flatten to the byte stream is a free host
+        # .view(int16) — packed_to_iq16
+        return outs[:, :, :P_GRID]
+    out_i, out_q = outs
     iq = jnp.stack([out_i[:, :, :P_GRID], out_q[:, :, :P_GRID]], axis=-1)
     if emit == "int16":
         return iq.reshape(B, 2 * n_k * P_GRID)

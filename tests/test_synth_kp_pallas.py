@@ -243,3 +243,32 @@ def test_pack_pm1_bits_rejects_amplitude():
 
     with pytest.raises(AssertionError, match="chan_gain"):
         _pack_pm1_bits(np.full((1, 1, 8), 2.0, np.float32))
+
+
+def test_packed_stream_equals_flat_stream(batch_1s):
+    """The packed int32 production format (synth_block_kp_packed) views
+    to EXACTLY the flat interleaved int16 stream, on both engines
+    (pallas via interpreter here; on-chip bit-identity is bench.py's
+    parity check)."""
+    from galileo_sdr_sim_tpu.ops.synth_kp import (
+        packed_to_iq16,
+        synth_block_kp,
+        synth_block_kp_packed,
+    )
+    from galileo_sdr_sim_tpu.ops.synth_kp_pallas import synth_accum_kp_pallas
+
+    n_k = ROWS
+    inputs = _small_inputs(batch_1s)
+    flat = np.asarray(synth_block_kp(inputs, n_k=n_k, engine="xla"))
+    packed = np.asarray(synth_block_kp_packed(inputs, n_k=n_k, engine="xla"))
+    assert packed.dtype == np.int32 and packed.shape == (
+        flat.shape[0], n_k, P_GRID
+    )
+    np.testing.assert_array_equal(packed_to_iq16(packed), flat)
+    pk = np.asarray(
+        synth_accum_kp_pallas(inputs, n_k=n_k, interpret=True, emit="i32pack")
+    )
+    # interpreter tolerance class vs the jit-fused XLA engine: identical
+    # here in practice; allow the documented chip-boundary ULP fraction
+    mis = (packed_to_iq16(pk) != flat).mean()
+    assert mis < 1e-3, mis
