@@ -42,14 +42,22 @@ the live I/NAV-improvements rollout (the 16-slots carry word 0 in all
 13 scenarios) — so correctness is pinned by round-trip decoding plus an
 orbit-reconstruction gate: satpos from the decoded reduced CED must
 match the full ephemeris at t0r to reduced-CED quantization error
-(tests/test_inav_word16.py).  Slots 17/19 (FEC2) still emit dummy 63
-like the reference.
+(tests/test_inav_word16.py).
 
-Schedule slots (WORD_ALLOCATION_E1, galileo-sdr.h:32-35) by index:
-0-7   -> 2, 4, 6, 7, 8, 17(dummy), 19(dummy), 16(real)
-8-14  -> 0, 0, 1, 3, 5, 0, 16(real)
-15-22 -> 2, 4, 6, 9, 10, 17(dummy), 19(dummy), 16(real)
-23-29 -> 0, 0, 1, 3, 5, 0, 16(real)
+Word types 17-20 (FEC2) carry real Reed-Solomon RS(118, 58) parity
+over the CED of words 1-4 in real-data mode (fec2.py): 15 parity
+octets per word, the 17/19 slots alternating to 18/20 on odd 30 s
+sub-frames so one 60 s period carries the complete 60-octet parity
+block and a receiver can reconstruct the full quantized CED from ANY
+58 of the 118 codeword octets (tests/test_inav_fec2.py).  Dummy mode
+keeps the reference's dummy-63 slots for strict A/B parity.
+
+Schedule slots (WORD_ALLOCATION_E1, galileo-sdr.h:32-35) by index
+(real-data mode; parity mode emits dummy 63 in the 17-20 slots):
+0-7   -> 2, 4, 6, 7, 8, 17|18, 19|20, 16
+8-14  -> 0, 0, 1, 3, 5, 0, 16
+15-22 -> 2, 4, 6, 9, 10, 17|18, 19|20, 16
+23-29 -> 0, 0, 1, 3, 5, 0, 16
 """
 
 from __future__ import annotations
@@ -377,6 +385,57 @@ def _put_word16(w: "BitWriter", eph: Ephemeris, g: GalTime) -> None:
         w.put_i32(_clamp(unscale_int(fields[name], scale), nbits), nbits)
 
 
+# --- FEC2 Reed-Solomon CED parity, word types 17-20 (beyond the
+# reference; fec2.py) --------------------------------------------------
+
+_FEC2_CACHE: dict = {}
+
+
+def ced_raw_fields(eph: Ephemeris) -> dict:
+    """The quantized unsigned field integers of CED words 1-4, exactly
+    as generate_page_pair emits them — the RS information is therefore
+    bit-consistent with the transmitted CED words."""
+    return {
+        "toe": int(eph.toe.sec) // 60,
+        "m0": unscale_int(eph.m0 / np.pi, -31),
+        "e": unscale_uint(eph.ecc, -33),
+        "sqrta": unscale_int(eph.sqrta, -19),
+        "omg0": unscale_int(eph.omg0 / np.pi, -31),
+        "inc0": unscale_int(eph.inc0 / np.pi, -31),
+        "aop": unscale_int(eph.aop / np.pi, -31),
+        "idot": unscale_int(eph.idot / np.pi, -43),
+        "omgdot": unscale_int(eph.omgdot / np.pi, -43),
+        "deltan": unscale_int(eph.deltan / np.pi, -43),
+        "cuc": unscale_int(eph.cuc, -29),
+        "cus": unscale_int(eph.cus, -29),
+        "crc": unscale_int(eph.crc, -5),
+        "crs": unscale_int(eph.crs, -5),
+        "sisa": 32767,  # same hard-coded index as word 3
+        "cic": unscale_int(eph.cic, -29),
+        "cis": unscale_int(eph.cis, -29),
+        "toc": int(eph.toc.sec) // 60,
+        "af0": unscale_int(eph.af0, -34),
+        "af1": unscale_int(eph.af1, -46),
+        "af2": unscale_int(eph.af2, -59),
+    }
+
+
+def fec2_parity_octets(eph: Ephemeris) -> np.ndarray:
+    """(4, 15) uint8: the RS(118, 58) parity octets carried by word
+    types 17/18/19/20 for this ephemeris (cached per data set)."""
+    key = (eph.svid, eph.iode, int(eph.toe.sec))
+    hit = _FEC2_CACHE.get(key)
+    if hit is None:
+        from .fec2 import ced_info_octets, rs_encode
+
+        info = ced_info_octets(eph.svid, eph.iode, ced_raw_fields(eph))
+        hit = rs_encode(info)[58:].reshape(4, 15)
+        if len(_FEC2_CACHE) > 256:
+            _FEC2_CACHE.clear()
+        _FEC2_CACHE[key] = hit
+    return hit
+
+
 def generate_page_pair(
     g: GalTime, eph: Ephemeris, iono: IonoUtc, word_type: int,
     almanac: dict | None = None,
@@ -510,6 +569,15 @@ def generate_page_pair(
         # reduced CED (beyond the reference; see module docstring)
         w.put(16, 8)
         _put_word16(w, eph, g)
+    elif word_type in (17, 18, 19, 20) and almanac is not None:
+        # FEC2 Reed-Solomon CED parity (beyond the reference, which
+        # emits dummy 63 here — inav-msg.cpp:377-384); 15 parity octets
+        # per word, words 17-20 together carry the full 60-octet parity
+        # block of RS(118, 58) over words 1-4's CED (fec2.py)
+        w.put(word_type, 8)
+        for o in fec2_parity_octets(eph)[word_type - 17]:
+            w.put(int(o), 8)
+        w.put(0, 2)
     else:  # dummy word 63
         w.put(63, 8)
         w.put(0, 122)
@@ -547,8 +615,15 @@ def generate_inav_page(
 ) -> np.ndarray:
     """One 2 s page pair -> 500 transmitted symbols (generateINavMsg,
     inav-msg.cpp:28-54).  Pass `almanac` (AlmanacContext.for_time) to
-    emit real word types 7-10 instead of the reference's dummies."""
+    emit real word types 7-10 instead of the reference's dummies.
+
+    In real-data mode the 17/19 schedule slots alternate to 18/20 on
+    odd 30 s sub-frames, so one 60 s period carries the complete
+    60-octet FEC2 parity block (words 17-20); dummy mode keeps the
+    reference's fixed 17/19 slots for strict A/B parity."""
     wt = word_type_for(g.sec)
+    if almanac is not None and wt in (17, 19) and (int(g.sec) // 30) % 2:
+        wt += 1
     even, odd = generate_page_pair(g, eph, iono, wt, almanac=almanac)
     return np.concatenate([frame_half_page(even), frame_half_page(odd)])
 

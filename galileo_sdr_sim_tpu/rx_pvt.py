@@ -146,6 +146,9 @@ def parse_word(content: np.ndarray) -> dict:
 
         for name, nbits, scale in WORD16_LAYOUT:
             out[name] = r.s(nbits) * 2.0**scale
+    elif wt in (17, 18, 19, 20):
+        # FEC2 Reed-Solomon CED parity, 15 octets (fec2.py)
+        out["parity"] = np.array([r.u(8) for _ in range(15)], np.uint8)
     elif wt == 6:
         out["A0"] = r.s(32) * 2.0**-30
         out["A1"] = r.s(24) * 2.0**-50
@@ -202,6 +205,66 @@ def assemble_ephemeris(words: dict[int, dict], week: int, prn: int) -> Ephemeris
     rec.sq1e2 = float(np.sqrt(1.0 - ecc * ecc))
     rec.omgkdot = rec.omgdot - OMEGA_EARTH
     return rec
+
+
+def reconstruct_ced_fec2(
+    contents: dict[int, np.ndarray], week: int
+) -> Ephemeris:
+    """Ephemeris from ANY >= 58-octet-covering subset of words
+    {1, 2, 3, 4, 17, 18, 19, 20} via RS(118, 58) erasure decoding —
+    the receiver-side payoff of the FEC2 words: e.g. two lost CED words
+    are reconstructed from two FEC2 parity words (fec2.py).
+
+    `contents` maps word_type -> the word's 130-bit content bitstream
+    (page_content of a CRC-clean DecodedPage)."""
+    from .fec2 import (
+        codeword_from_words,
+        info_octets_to_ced,
+        rs_decode_erasures,
+    )
+
+    code, erased = codeword_from_words(contents)
+    rec = rs_decode_erasures(code, erased)
+    svid, iodnav, f = info_octets_to_ced(rec[:58])
+
+    def s(name: str, nbits: int, scale: float) -> float:
+        v = f[name]
+        if v >> (nbits - 1):
+            v -= 1 << nbits
+        return v * scale
+
+    words = {
+        1: {
+            "iode": iodnav,
+            "toe_sec": f["toe"] * 60.0,
+            "m0": s("m0", 32, 2.0**-31) * GNSS_PI,
+            "ecc": f["e"] * 2.0**-33,
+            "sqrta": f["sqrta"] * 2.0**-19,
+        },
+        2: {
+            "omg0": s("omg0", 32, 2.0**-31) * GNSS_PI,
+            "inc0": s("inc0", 32, 2.0**-31) * GNSS_PI,
+            "aop": s("aop", 32, 2.0**-31) * GNSS_PI,
+            "idot": s("idot", 14, 2.0**-43) * GNSS_PI,
+        },
+        3: {
+            "omgdot": s("omgdot", 24, 2.0**-43) * GNSS_PI,
+            "deltan": s("deltan", 16, 2.0**-43) * GNSS_PI,
+            "cuc": s("cuc", 16, 2.0**-29),
+            "cus": s("cus", 16, 2.0**-29),
+            "crc": s("crc", 16, 2.0**-5),
+            "crs": s("crs", 16, 2.0**-5),
+        },
+        4: {
+            "cic": s("cic", 16, 2.0**-29),
+            "cis": s("cis", 16, 2.0**-29),
+            "toc_sec": f["toc"] * 60.0,
+            "af0": s("af0", 31, 2.0**-34),
+            "af1": s("af1", 21, 2.0**-46),
+            "af2": s("af2", 6, 2.0**-59),
+        },
+    }
+    return assemble_ephemeris(words, week, svid)
 
 
 def assemble_iono(w5: dict | None, w6: dict | None = None) -> IonoUtc:
