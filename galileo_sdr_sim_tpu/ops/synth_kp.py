@@ -520,12 +520,17 @@ def default_engine() -> str:
 
 def accum_kp(inputs: dict, n_k: int, engine: str = "xla") -> jax.Array:
     """Engine-dispatched f32 accumulator.  'pallas' = fused VMEM kernel
-    (ops/synth_kp_pallas.py); 'xla' = the pure-jnp formulation below.
-    Both compute identical f32 math (bit-identical on TPU)."""
-    if engine == "pallas":
+    (ops/synth_kp_pallas.py); 'xla' = the pure-jnp formulation below;
+    'pallas_interpret' = the kernel under the Pallas interpreter (CI
+    meshes without a TPU — validates shard_map composition of the
+    production kernel off-chip).  All compute identical f32 math
+    (pallas/xla bit-identical on TPU)."""
+    if engine in ("pallas", "pallas_interpret"):
         from .synth_kp_pallas import synth_accum_kp_pallas
 
-        return synth_accum_kp_pallas(inputs, n_k=n_k)
+        return synth_accum_kp_pallas(
+            inputs, n_k=n_k, interpret=engine == "pallas_interpret"
+        )
     return synth_accum_kp(inputs, n_k=n_k)
 
 

@@ -140,7 +140,7 @@ def sharded_kp_fn(mesh: Mesh, n_k: int, engine: str = "xla",
     engines (ops/synth_kp.py cboc branch)."""
     from ..ops.synth_kp import accum_kp
 
-    table_key = "vpack_rs" if engine == "pallas" else "vpack"
+    table_key = "vpack_rs" if engine.startswith("pallas") else "vpack"
 
     def local_step(cp0, two_a, mu, carr0, fc, fc_k, sym_win, pilot_win,
                    vpack, *ab):
@@ -185,7 +185,7 @@ def shard_kp_inputs(inputs: dict, mesh: Mesh, engine: str = "xla") -> tuple:
         sym_win=P("time", "sat", None),
         pilot_win=P("time", "sat", None),
     )
-    table_key = "vpack_rs" if engine == "pallas" else "vpack"
+    table_key = "vpack_rs" if engine.startswith("pallas") else "vpack"
     order = KP_ORDER + (table_key,)
     specs[table_key] = P("sat", None, None)
     if "cboc_ab" in inputs:
@@ -212,7 +212,7 @@ def synth_batch_kp_sharded(
     inputs = prepare_kp_inputs(
         batch, nsamples, pad_epochs=pad_epochs,
         compact=False if n_sat > 1 else True,
-        pack_g=engine == "pallas",
+        pack_g=engine.startswith("pallas"),
     )
     B, C = inputs["cp0"].shape
     assert C % n_sat == 0, f"channels {C} not divisible by sat axis {n_sat}"
