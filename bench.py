@@ -132,9 +132,19 @@ def main() -> int:
         batch, NUM_IQ_SAMPLES, pad_epochs=B, pack_g=engine == "pallas"
     )
 
-    R = 10
+    # DIFFERENTIAL chained timing (round 5): a single chained call
+    # carries a fixed host<->relay round trip (~25 ms when the tunnel is
+    # degraded — the relay-health probe's scale), which at R=10 inflated
+    # every per-iteration figure by ~2.5 ms in earlier rounds.  Timing
+    # the SAME chain at two iteration counts and differencing,
+    # tau = (T(2R) - T(R)) / R, cancels the per-call fixed cost exactly;
+    # the chain still carries the anti-LICM feedback and a scalar
+    # readback, so only completed device execution is measured.
+    R1, R2 = 40, 80
 
-    def make_chained(inp_example):
+    def make_chained(R):
+        # returned chain is shape-polymorphic (jit retraces per input
+        # structure); R is the fori iteration count
         @jax.jit
         def chained(inputs):
             # the carry perturbs BOTH carr0 and cp0: production feeds
@@ -145,14 +155,9 @@ def main() -> int:
                 inp = dict(inputs)
                 inp["carr0"] = inputs["carr0"] + carry * 1e-9
                 inp["cp0"] = inputs["cp0"] + carry * 1e-9
-                # packed int32 I/Q — the production stream format.
-                # Consumption reads one lane-ALIGNED 128-lane slab
-                # (~6.5 MB): any read forces the opaque kernel to
-                # complete, while a full-buffer or lane-strided scan
-                # would re-measure the CONSUMER's HBM read (~1.2 ms at
-                # the device's measured ~60-85 GB/s effective
-                # bandwidth), not the kernel (docs/kernel_design.md,
-                # round-5 addendum).
+                # packed int32 I/Q — the production stream format;
+                # consumption reads one lane-ALIGNED 128-lane slab so
+                # the consumer's HBM scan never mixes into the number
                 out = synth_block_kp_packed(inp, n_k=K_EPOCH, engine=engine)
                 return carry + jnp.sum(
                     out[:, :, :128].astype(jnp.float32)
@@ -161,20 +166,26 @@ def main() -> int:
 
         return chained
 
-    def timed_chained(chained, inp, nsamp):
-        float(chained(inp))  # compile + warm
+    def timed_chained(chains, inp, nsamp, dr):
+        c1, c2 = chains
+        float(c1(inp))  # compile + warm
+        float(c2(inp))
         vals = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(chained(inp))  # scalar readback forces completion
-            vals.append(nsamp / ((time.perf_counter() - t0) / R))
+            float(c1(inp))  # scalar readback forces completion
+            t1 = time.perf_counter()
+            float(c2(inp))
+            t2 = time.perf_counter()
+            tau = ((t2 - t1) - (t1 - t0)) / dr
+            vals.append(nsamp / max(tau, 1e-9))
         return vals
 
     stats = {}
 
-    chained = make_chained(inputs)
+    chains = (make_chained(R1), make_chained(R2))
     stats["samples_per_sec"] = _stats(
-        timed_chained(chained, inputs, B * NUM_IQ_SAMPLES)
+        timed_chained(chains, inputs, B * NUM_IQ_SAMPLES, R2 - R1)
     )
     sps = stats["samples_per_sec"]["median"]
 
@@ -245,8 +256,7 @@ def main() -> int:
     cboc_inputs = dict(inputs)
     cboc_inputs["cboc_ab"] = jnp.asarray([ALPHA, BETA], jnp.float32)
     stats["cboc_samples_per_sec"] = _stats(
-        timed_chained(make_chained(cboc_inputs), cboc_inputs,
-                      B * NUM_IQ_SAMPLES)
+        timed_chained(chains, cboc_inputs, B * NUM_IQ_SAMPLES, R2 - R1)
     )
 
     # --- B=1 low-latency (interactive -i) call rate --------------------
@@ -258,8 +268,12 @@ def main() -> int:
         k: (v if k in ("vpack", "vpack_rs") else v[:1])
         for k, v in inputs.items()
     }
+    # B=1 per-iteration time (~60 us) is far below relay jitter at
+    # R=40/80; use 10x the iteration counts so the differential still
+    # resolves it
+    b1_chains = (make_chained(R1 * 10), make_chained(R2 * 10))
     stats["b1_samples_per_sec"] = _stats(
-        timed_chained(make_chained(b1_inputs), b1_inputs, NUM_IQ_SAMPLES)
+        timed_chained(b1_chains, b1_inputs, NUM_IQ_SAMPLES, (R2 - R1) * 10)
     )
 
     # --- TPU production-path acceptance artifact -----------------------
@@ -387,6 +401,41 @@ def main() -> int:
     exec_over_serial = float(max(
         e / s for e, s in zip(exe_vals, ser_vals)
     ))
+
+    # --- band-limited CBOC rate (--bandlimit, ops/bandlimit.py) -------
+    # 12 phase-shifted fused-kernel calls + one polyphase conv per
+    # block; host prep of the 12 phase batches dominates, so this is a
+    # serial-loop wall measurement like devsink
+    from galileo_sdr_sim_tpu.models.cboc import E1_CBOC
+    from galileo_sdr_sim_tpu.ops.bandlimit import (
+        initial_state,
+        synth_block_cboc_bandlimited,
+    )
+
+    def bl_run(dur):
+        eng_bl = ScenarioEngine(
+            nav, PositionProvider(llh_deg=static), g0, duration_s=dur,
+            model=E1_CBOC,
+        )
+        cache: dict = {}
+        state = initial_state()
+        n = 0
+        last = None
+        t0 = time.perf_counter()
+        for batch in eng_bl.batches(B):
+            out, state = synth_block_cboc_bandlimited(
+                batch, NUM_IQ_SAMPLES, pad_epochs=B, engine=engine,
+                code_cache=cache, state=state,
+            )
+            last = out
+            n += batch.f_code.shape[0]
+        float(jnp.sum(last[:, :128].astype(jnp.float32)))  # sync
+        return n * NUM_IQ_SAMPLES / (time.perf_counter() - t0)
+
+    bl_run(0.1 * B + 0.5)  # warm compiles
+    stats["cboc_bandlimited_samples_per_sec"] = _stats(
+        [bl_run(DEV_DUR) for _ in range(REPS)]
+    )
 
     # --- sustained end-to-end pipeline rate ---------------------------
     # warm the e2e pipeline's compile (same B -> one compile), then time

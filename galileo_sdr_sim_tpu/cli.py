@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit dummy word 63 in the almanac slots (word "
                         "types 7-10) like the reference instead of real "
                         "almanac data derived from the ephemerides")
+    p.add_argument("--bandlimit", action="store_true",
+                   help="emit the band-limited CBOC stream (synthesize "
+                        "at 12x via polyphase fused-kernel calls, "
+                        "low-pass at 1.3 MHz, decimate — what a band-"
+                        "limited front end digitizes; implies --model "
+                        "cboc; ops/bandlimit.py)")
     p.add_argument("--apply-gain", action="store_true",
                    help="apply per-channel path-loss/antenna gain to the mix "
                         "(the reference computes but does not apply it)")
@@ -307,6 +313,8 @@ def main(argv=None) -> int:
         bit_source = servers.state
 
     use_usrp = args.disable_usrp is None
+    if args.bandlimit:
+        args.model = "cboc"
     if args.model == "cboc":
         from .models.cboc import E1_CBOC as signal_model
     else:
@@ -365,7 +373,7 @@ def main(argv=None) -> int:
         engine, sink, mode=args.mode, synth_engine=args.engine,
         block_epochs=block_epochs, status_cb=status_cb,
         checkpoint_path=args.checkpoint, apply_gain=args.apply_gain,
-        pipeline_depth=args.pipeline_depth,
+        pipeline_depth=args.pipeline_depth, bandlimit=args.bandlimit,
     )
 
     def _sigint(signum, frame):

@@ -94,6 +94,7 @@ class StreamingSynthesizer:
         apply_gain: bool = False,
         pipeline_depth: int | None = None,
         drain_host: bool = True,
+        bandlimit: bool = False,
     ):
         self.engine = engine
         self.sink = sink
@@ -120,6 +121,24 @@ class StreamingSynthesizer:
         ):
             synth_engine = "direct"
         self.synth_engine = synth_engine
+        # band-limited CBOC mode (ops/bandlimit.py): 12 phase-shifted
+        # fused-kernel calls per block + polyphase decimation emit the
+        # stream a band-limited front end would digitize
+        self.bandlimit = bandlimit
+        if bandlimit:
+            if getattr(engine.model, "code_subdiv", 2) != 12:
+                raise ValueError(
+                    "--bandlimit needs the CBOC signal model "
+                    "(models/cboc.py); run with --model cboc"
+                )
+            if self.synth_engine not in ("kp", "kp_pallas"):
+                raise ValueError(
+                    "--bandlimit requires the factorized (K,p) engines "
+                    f"(got {self.synth_engine})"
+                )
+            from ..ops.bandlimit import initial_state
+
+            self._bl_state = initial_state()
         self.tile = tile
         self.block_epochs = block_epochs
         self.nsamples = nsamples  # != NUM_IQ_SAMPLES only in tests
@@ -200,7 +219,20 @@ class StreamingSynthesizer:
             # host_prep+dispatch would misattribute device wait time)
             section = "fallback_direct" if fallback else "host_prep+dispatch"
             with self.stats.timer.section(section):
-                if use_kp and not fallback:
+                if use_kp and not fallback and self.bandlimit:
+                    from ..ops.bandlimit import synth_block_cboc_bandlimited
+
+                    fut, self._bl_state = synth_block_cboc_bandlimited(
+                        batch,
+                        self.nsamples,
+                        pad_epochs=self.block_epochs,
+                        engine="pallas"
+                        if self.synth_engine == "kp_pallas"
+                        else "xla",
+                        code_cache=self._code_cache,
+                        state=self._bl_state,
+                    )
+                elif use_kp and not fallback:
                     inputs = prepare_kp_inputs(
                         batch,
                         self.nsamples,
@@ -211,9 +243,9 @@ class StreamingSynthesizer:
                     )
                     # packed int32 I/Q: the tile-aligned device format —
                     # the flat (B, 2*n) int16 layout costs a
-                    # lane-unaligned relayout on TPU (~3.5 ms per B=64
-                    # call); the drain views packed bytes as int16 for
-                    # free (synth_kp.packed_to_iq16)
+                    # lane-unaligned relayout on TPU; the drain views
+                    # packed bytes as int16 for free
+                    # (synth_kp.packed_to_iq16)
                     fut = synth_block_kp_packed(
                         inputs,
                         n_k=self.nsamples // P_GRID,

@@ -545,11 +545,13 @@ def synth_block_kp_packed(
     equals the reference's interleaved int16 format and the host-side
     flatten is a free view (packed_to_iq16).  This exists because the
     flat (B, 2*n_k*1300) layout costs a lane-unaligned relayout on TPU
-    (1300 % 128 != 0: ~3.5 ms per B=64 call, ~half the call — measured
-    round 5, tools/probe_kernel_cost.py); the packed layout keeps every
-    row tile-aligned end to end.  Engines are bit-identical on TPU
-    (same trunc + two's-complement pack).  Reference format:
-    src/galileo-sdr.cpp:536-542 (interleaved (short) I/Q)."""
+    (1300 % 128 != 0; the XLA epilogue's stack+reshape, measured with
+    the differential harness in docs/kernel_design.md's round-5
+    addendum) and halves the number of output buffers; the packed
+    layout keeps every row tile-aligned end to end.  Engines are
+    bit-identical on TPU (same trunc + two's-complement pack).
+    Reference format: src/galileo-sdr.cpp:536-542 (interleaved (short)
+    I/Q)."""
     if engine == "pallas":
         from .synth_kp_pallas import synth_accum_kp_pallas
 

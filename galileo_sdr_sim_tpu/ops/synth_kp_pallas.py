@@ -246,10 +246,10 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
             # (galileo-sdr.cpp:536-537); the two int16 components are
             # packed into ONE little-endian int32 word (I low, Q high),
             # whose byte stream IS the interleaved int16 I/Q format —
-            # the host views it as int16 for free, skipping the
-            # lane-unaligned stack/flatten relayout that cost ~3.5 ms
-            # per B=64 call in the XLA epilogue (1300 % 128 != 0;
-            # tools/probe_kernel_cost.py, round 5)
+            # the host views it as int16 for free, skipping the XLA
+            # epilogue's lane-unaligned stack/flatten relayout
+            # (1300 % 128 != 0) and one of the two output buffers
+            # (tools/probe_kernel_cost.py, round 5)
             ii = jnp.trunc(amp * acc_i).astype(jnp.int32)
             qq = jnp.trunc(amp * acc_q).astype(jnp.int32)
             out_w[0, rows] = (ii & 0xFFFF) | (qq << 16)
@@ -317,9 +317,8 @@ def synth_accum_kp_pallas(
     emit="int16": additionally truncates and packs in-kernel —
     (B, 2*n_k*1300) interleaved int16, the full synth_block_kp output,
     skipping the separate full-size quantization pass.  NOTE: the final
-    flatten is a lane-UNALIGNED relayout (1300 % 128 != 0) costing
-    ~3.5 ms per B=64 call in XLA — the production stream path uses
-    emit="i32pack" instead.
+    flatten is a lane-UNALIGNED XLA relayout (1300 % 128 != 0) — the
+    production stream path uses emit="i32pack" instead.
 
     emit="i32pack": truncates AND interleaves in-kernel by packing each
     I/Q int16 pair into one little-endian int32 (I low half, Q high) —

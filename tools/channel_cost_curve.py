@@ -70,7 +70,7 @@ def main() -> None:
         P_GRID,
         default_engine,
         prepare_kp_inputs,
-        synth_block_kp,
+        synth_block_kp_packed,
     )
 
     import jax.numpy as jnp
@@ -80,26 +80,34 @@ def main() -> None:
     rng = np.random.default_rng(11)
     n_k = NUM_IQ_SAMPLES // P_GRID
 
-    # bench.py's methodology: R chained kernel calls inside one jit with
-    # a data-dependent carry (defeats LICM) and a scalar readback as the
-    # completion fence — block_until_ready on the relay backend returns
-    # before remote execution finishes, and single calls would measure
-    # the ~80 ms dispatch round-trip instead of the kernel
-    R = 10
+    # bench.py's methodology: DIFFERENTIAL chained timing — the chain
+    # (data-dependent carry defeats LICM; scalar readback is the
+    # completion fence) is timed at two iteration counts and
+    # differenced, tau = (T(R2) - T(R1)) / (R2 - R1), cancelling the
+    # fixed per-call host<->relay round trip (~25 ms on a degraded
+    # tunnel) that inflated every per-iteration figure at fixed R=10
+    # in rounds <= 4 (docs/kernel_design.md round-5 addendum)
+    R1, R2 = 40, 80
 
-    def make_chained(inputs):
+    def make_chained(R):
         @jax.jit
         def chained(inputs):
             def body(i, carry):
                 inp = dict(inputs)
                 inp["carr0"] = inputs["carr0"] + carry * 1e-9
                 inp["cp0"] = inputs["cp0"] + carry * 1e-9
-                out = synth_block_kp(inp, n_k=n_k, engine=engine)
+                # packed production format; consume one lane-aligned
+                # 128-lane slab (any read forces the opaque kernel;
+                # a full/strided scan would re-measure the consumer's
+                # HBM read)
+                out = synth_block_kp_packed(inp, n_k=n_k, engine=engine)
                 return carry + jnp.sum(
-                    out[:, ::2626].astype(jnp.float32)
+                    out[:, :, :128].astype(jnp.float32)
                 ) * 1e-12
             return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
         return chained
+
+    chains = (make_chained(R1), make_chained(R2))
 
     rows = []
     for C in CS:
@@ -108,13 +116,19 @@ def main() -> None:
             inputs = prepare_kp_inputs(
                 batch, NUM_IQ_SAMPLES, pack_g=engine == "pallas"
             )
-            chained = make_chained(inputs)
-            float(chained(inputs))  # compile + warm
+            c1, c2 = chains
+            float(c1(inputs))  # compile + warm
+            float(c2(inputs))
             best = float("inf")
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                float(chained(inputs))
-                best = min(best, (time.perf_counter() - t0) / R)
+                float(c1(inputs))
+                t1 = time.perf_counter()
+                float(c2(inputs))
+                t2 = time.perf_counter()
+                tau = ((t2 - t1) - (t1 - t0)) / (R2 - R1)
+                if tau > 0:
+                    best = min(best, tau)
             sps = B * NUM_IQ_SAMPLES / best
             rows.append({
                 "C": C, "B": B, "seconds": best, "samples_per_sec": sps,
