@@ -259,11 +259,13 @@ def main() -> int:
         timed_chained(chains, cboc_inputs, B * NUM_IQ_SAMPLES, R2 - R1)
     )
 
-    # --- B=1 low-latency (interactive -i) call rate --------------------
+    # --- B=1 (interactive -i shape) per-iteration device rate ----------
     # the CLI drops to block_epochs=1 in interactive mode so a UDP 7533
-    # position update reaches emitted samples within one 0.1 s epoch;
-    # this is the device-call rate that bounds that path (reference
-    # guarantee: galileo-sdr.cpp:443 picks up llhr each epoch)
+    # position update reaches emitted samples within one 0.1 s epoch.
+    # Differential timing isolates the KERNEL's per-epoch time (~50 us);
+    # the end-to-end interactive latency budget is dispatch-dominated
+    # (per-call RTT ~ relay_health_ms here; ~100 us co-located) and is
+    # pinned separately by the RT pacing gate (docs/realtime.md).
     b1_inputs = {
         k: (v if k in ("vpack", "vpack_rs") else v[:1])
         for k, v in inputs.items()

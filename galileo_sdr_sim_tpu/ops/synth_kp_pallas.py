@@ -75,6 +75,7 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
                fc_s, fck_s, sym_s, pil_s, ab_s, gain_s, tab_hbm,
                *rest, C: int, kap_tile: int,
                emit: str, cboc: bool, use_gain: bool,
+               vec_kt: bool = False,
                sections: tuple = ("prologue", "main")):
     # `sections` exists for cost attribution probes only
     # (tools/probe_kernel_cost.py): dropping "prologue" leaves scratch
@@ -176,6 +177,86 @@ def _kernel_v5(cp0_s, two_a_s, mu_s, g0_s, o128_s, ph_s, r_s, carr0_s,
     if "main" not in sections:
         return
     rho_par = rho8 - 2.0 * jnp.floor(rho8 * 0.5)  # (8, 1) K parity
+    if vec_kt:
+        # v6 main loop: one (kap_tile, 8, P_PAD) chain per channel
+        # instead of kap_tile separate (8, P_PAD) chains — identical
+        # values elementwise (same op order per element, same ascending
+        # channel adds), so bit-identity with the XLA engine is
+        # preserved; larger ops amortize per-op VPU overhead.
+        kt_i = jax.lax.broadcasted_iota(jnp.int32, (kap_tile, 1, 1), 0)
+        kap3 = kap0 + kt_i  # (kt, 1, 1) int32
+        k3 = (
+            jnp.float32(ROWS) * kap3.astype(jnp.float32)
+            + rho8.reshape(1, ROWS, 1)
+        )  # (kt, 8, 1)
+        rho_par3 = rho_par.reshape(1, ROWS, 1)
+        acc_i = acc_q = None
+        for c in range(C):
+            psi_c = planes[c, 48:49][None]  # (1, 1, P_PAD)
+            w8_c = planes[c, 49:50][None]
+            cpr_c = planes[c, 50:51][None]
+            cpi_c = planes[c, 51:52][None]
+            a0b_c, dab_c = planes[c, 0:8][None], planes[c, 8:16][None]
+            a0c_c, dac_c = planes[c, 16:24][None], planes[c, 24:32][None]
+            b0_c, db_c = planes[c, 32:40][None], planes[c, 40:48][None]
+            t_kp = psi_c + mu_s[b, c] * k3  # (kt, 8, P_PAD)
+            delta = jnp.floor(t_kp)
+            chip_b = a0b_c + delta * dab_c
+            chip_c = a0c_c + delta * dac_c
+            bsel = b0_c + delta * db_c
+            wd = sym_s[b, c]
+            wp = pil_s[b, c]
+            d0 = 1.0 - 2.0 * ((wd >> kap3) & 1).astype(jnp.float32)
+            d1 = 1.0 - 2.0 * ((wd >> (kap3 + 1)) & 1).astype(jnp.float32)
+            d2 = 1.0 - 2.0 * ((wd >> (kap3 + 2)) & 1).astype(jnp.float32)
+            s0 = 1.0 - 2.0 * ((wp >> kap3) & 1).astype(jnp.float32)
+            s1 = 1.0 - 2.0 * ((wp >> (kap3 + 1)) & 1).astype(jnp.float32)
+            s2 = 1.0 - 2.0 * ((wp >> (kap3 + 2)) & 1).astype(jnp.float32)
+            d_lo = d0 + w8_c * (d1 - d0)
+            d_df = (d1 + w8_c * (d2 - d1)) - d_lo
+            s_lo = s0 + w8_c * (s1 - s0)
+            s_df = (s1 + w8_c * (s2 - s1)) - s_lo
+            d_val = d_lo + bsel * d_df
+            s_val = s_lo + bsel * s_df
+            if cboc:
+                frac = t_kp - delta
+                j6 = jnp.floor(jnp.float32(6.0) * frac)
+                par = planes[c, 52:53][None] + rho_par3 + delta + j6
+                tau = 1.0 - 2.0 * (par - 2.0 * jnp.floor(par * 0.5))
+                wb = ab_s[0] + ab_s[1] * tau
+                wc = ab_s[0] - ab_s[1] * tau
+                m = (chip_b * wb) * d_val - (chip_c * wc) * s_val
+            else:
+                m = chip_b * d_val - chip_c * s_val
+            if use_gain:
+                m = m * gain_s[b, c]
+            ph_k = fck_s[b, c] * k3
+            ph_k = ph_k - jnp.floor(ph_k)
+            ang_k = jnp.float32(_TWO_PI) * ph_k
+            ckr = jnp.cos(ang_k)  # (kt, 8, 1)
+            cki = jnp.sin(ang_k)
+            cis_r = ckr * cpr_c - cki * cpi_c
+            cis_i = ckr * cpi_c + cki * cpr_c
+            v_i = m * cis_r
+            v_q = m * cis_i
+            acc_i = v_i if c == 0 else acc_i + v_i
+            acc_q = v_q if c == 0 else acc_q + v_q
+        R_TILE = ROWS * kap_tile
+        if emit == "i32pack":
+            ii = jnp.trunc(amp * acc_i).astype(jnp.int32)
+            qq = jnp.trunc(amp * acc_q).astype(jnp.int32)
+            out_w[0] = ((ii & 0xFFFF) | (qq << 16)).reshape(R_TILE, P_PAD)
+        elif emit == "int16":
+            out_i[0] = jnp.trunc(amp * acc_i).astype(jnp.int16).reshape(
+                R_TILE, P_PAD
+            )
+            out_q[0] = jnp.trunc(amp * acc_q).astype(jnp.int16).reshape(
+                R_TILE, P_PAD
+            )
+        else:
+            out_i[0] = (amp * acc_i).reshape(R_TILE, P_PAD)
+            out_q[0] = (amp * acc_q).reshape(R_TILE, P_PAD)
+        return
     for kt in range(kap_tile):
         kap = kap0 + kt
         k8 = jnp.float32(ROWS) * kap.astype(jnp.float32) + rho8  # (8, 1)
@@ -306,6 +387,7 @@ def synth_accum_kp_pallas(
     interpret: bool = False,
     emit: str = "f32",
     kap_tile: int | None = None,
+    vec_kt: bool | None = None,
     _sections: tuple = ("prologue", "main"),
 ) -> jax.Array:
     """Fused (v5) Pallas engine.
@@ -374,6 +456,9 @@ def synth_accum_kp_pallas(
         )
     assert n_kap % kap_tile == 0, (n_kap, kap_tile)
 
+    if vec_kt is None:
+        vec_kt = False  # v5 per-kt loop remains the default pending the
+        # v6 hardware verdict (tools/probe_vec_kt.py)
     g0, o, r = _window_anchors(inputs)
     o128 = (o // 128) * 128
     phase = o - o128
@@ -410,7 +495,8 @@ def synth_accum_kp_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _kernel_v5, C=C, kap_tile=kap_tile, emit=emit,
-            cboc=cboc, use_gain=use_gain, sections=_sections,
+            cboc=cboc, use_gain=use_gain, vec_kt=vec_kt,
+            sections=_sections,
         ),
         grid=(B, n_kap // kap_tile),
         in_specs=[sspec()] * 14 + [
