@@ -509,6 +509,14 @@ def synth_accum_kp_pallas(
             pltpu.VMEM((C, W_RS, W_WIN), jnp.int8),
             pltpu.SemaphoreType.DMA((C,)),
         ],
+        # the vectorized-kt main loop's whole-tile temporaries exceed
+        # the 16 MB default scoped-VMEM stack at large kap_tile; the
+        # v5e has far more physical VMEM, so raise the limit for it
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+            if (vec_kt and not interpret)
+            else None
+        ),
         interpret=interpret,
     )(
         f32("cp0"), f32("two_a"), f32("mu"), g0.astype(jnp.float32),

@@ -104,18 +104,24 @@ def main() -> int:
                 inp[k] = jnp.asarray(v)
         return inp
 
+    j5 = jax.jit(lambda d: synth_accum_kp_pallas(
+        d, n_k=K_EPOCH, emit="i32pack", vec_kt=False))
+    j6 = jax.jit(lambda d: synth_accum_kp_pallas(
+        d, n_k=K_EPOCH, emit="i32pack", vec_kt=True))
     rows = []
     for C in cs:
         inp = widen(base, C)
-        o5 = np.asarray(
-            synth_accum_kp_pallas(inp, n_k=K_EPOCH, emit="i32pack",
-                                  vec_kt=False)
-        )
-        o6 = np.asarray(
-            synth_accum_kp_pallas(inp, n_k=K_EPOCH, emit="i32pack",
-                                  vec_kt=True)
-        )
+        print(f"# C={C}: compiling...", flush=True)
+        try:
+            o5 = np.asarray(j5(inp))
+            o6 = np.asarray(j6(inp))
+        except Exception as e:
+            print(f"# C={C}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            rows.append({"C": C, "error": str(e)[:200]})
+            continue
         identical = bool(np.array_equal(o5, o6))
+        print(f"# C={C}: identical={identical}; timing...", flush=True)
         t5 = tau_ms(False, inp)
         t6 = tau_ms(True, inp)
         row = {
