@@ -272,3 +272,22 @@ def test_packed_stream_equals_flat_stream(batch_1s):
     # here in practice; allow the documented chip-boundary ULP fraction
     mis = (packed_to_iq16(pk) != flat).mean()
     assert mis < 1e-3, mis
+
+
+def test_vec_kt_variant_matches_default(batch_1s):
+    """The vectorized-kt (v6) main loop is value-identical to the
+    default per-kt (v5) loop — same ops per element, same channel
+    order (hardware verdict: v6 measures slower and stays non-default;
+    docs/kernel_design.md 'Negative result')."""
+    inputs = _small_inputs(batch_1s)
+    a5 = np.asarray(
+        synth_accum_kp_pallas(
+            inputs, n_k=ROWS, interpret=True, emit="i32pack", vec_kt=False
+        )
+    )
+    a6 = np.asarray(
+        synth_accum_kp_pallas(
+            inputs, n_k=ROWS, interpret=True, emit="i32pack", vec_kt=True
+        )
+    )
+    np.testing.assert_array_equal(a5, a6)
