@@ -318,23 +318,28 @@ def prepare_kp_inputs(
         peak = max(g.max(), 1e-9)
         chan_gain = (g / peak).astype(np.float32)  # (B, C) <= 1
 
-    out = dict(
-        cp0=jnp.asarray(batch.code_phase0, jnp.float32),  # (B, C) [chips]
-        two_a=jnp.asarray(2.0 * a, jnp.float32),  # half-chips/sample
-        mu=jnp.asarray(mu, jnp.float32),
-        carr0=jnp.asarray(batch.carr_phase0, jnp.float32),
-        fc=jnp.asarray(fc, jnp.float32),
-        fc_k=jnp.asarray(fc_k, jnp.float32),
-        sym_win=jnp.asarray(sym_f),  # (B, C, 32) ±1 (x gain if enabled)
-        pilot_win=jnp.asarray(pil_f),
-        vpack=vpack,  # (C, 1023, 32) f32
+    # ONE device_put for all per-epoch operands: each separate
+    # jnp.asarray pays a host->device transfer round trip, which on a
+    # relay-attached device costs far more than the bytes (the code
+    # slabs are cached on device separately and excluded)
+    host = dict(
+        cp0=np.asarray(batch.code_phase0, np.float32),  # (B, C) [chips]
+        two_a=np.asarray(2.0 * a, np.float32),  # half-chips/sample
+        mu=np.asarray(mu, np.float32),
+        carr0=np.asarray(batch.carr_phase0, np.float32),
+        fc=np.asarray(fc, np.float32),
+        fc_k=np.asarray(fc_k, np.float32),
+        sym_win=sym_f,  # (B, C, 32) ±1
+        pilot_win=pil_f,
     )
+    if cboc_ab is not None:
+        host["cboc_ab"] = cboc_ab  # (2,) f32 (alpha, beta)
+    if chan_gain is not None:
+        host["chan_gain"] = chan_gain  # (B, C) f32 <= 1
+    out = jax.device_put(host)
+    out["vpack"] = vpack  # (C, 1023, 32) f32 (device-cached)
     if pack_g:
         out["vpack_rs"] = vpack_rs  # (C, 160, 11904) int8
-    if cboc_ab is not None:
-        out["cboc_ab"] = jnp.asarray(cboc_ab)  # (2,) f32 (alpha, beta)
-    if chan_gain is not None:
-        out["chan_gain"] = jnp.asarray(chan_gain)  # (B, C) f32 <= 1
     return out
 
 
