@@ -226,6 +226,132 @@ def ced_info_octets(svid: int, iodnav: int, fields: dict) -> np.ndarray:
     return np.packbits(w.bits).astype(np.uint8)
 
 
+def rs_decode(code: np.ndarray, erased: list[int] | None = None) -> np.ndarray:
+    """Errors-AND-erasures decoding: corrects e erasures (known
+    positions) plus t unknown-position errors whenever 2t + e <= 60.
+
+    Berlekamp-Massey on the erasure-modified syndromes finds the error
+    locator; Chien search over the 118 valid positions locates errors;
+    Forney with the combined locator computes magnitudes.  Raises
+    ValueError when the pattern exceeds the code's capability (residual
+    syndromes / locator degree mismatch) instead of returning a
+    miscorrection."""
+    code = np.asarray(code, np.int32).copy()
+    erased = sorted(set(int(e) for e in (erased or [])))
+    assert all(0 <= e < N_CODE for e in erased)
+    if len(erased) > N_PARITY:
+        raise ValueError(f"{len(erased)} erasures > {N_PARITY} correctable")
+    code[erased] = 0
+    syn = _syndromes(code)
+    if not syn.any():
+        return code.astype(np.uint8)
+
+    xs = [int(_EXP[(N_CODE - 1 - e) % 255]) for e in erased]
+    # erasure locator Gamma(x), gam[i] = coeff of x^i
+    gam = [1]
+    for xk in xs:
+        new = gam + [0]
+        for i in range(len(gam), 0, -1):
+            new[i] ^= _gmul(gam[i - 1], xk)
+        gam = new
+
+    # modified syndromes Xi = S(x) * Gamma(x) mod x^60
+    xi = [0] * N_PARITY
+    for i in range(N_PARITY):
+        acc = 0
+        for j in range(min(i + 1, len(gam))):
+            acc ^= _gmul(gam[j], int(syn[i - j]))
+        xi[i] = acc
+
+    # Berlekamp-Massey over xi[e:] for the error locator Lambda(x)
+    e_cnt = len(erased)
+    lam = [1]
+    prev = [1]
+    L = 0
+    m = 1
+    b = 1
+    for n in range(N_PARITY - e_cnt):
+        d = xi[n + e_cnt]
+        for i in range(1, L + 1):
+            if i < len(lam):
+                d ^= _gmul(lam[i], xi[n + e_cnt - i])
+        if d == 0:
+            m += 1
+        elif 2 * L <= n:
+            t_poly = list(lam)
+            coef = _gdiv(d, b)
+            shifted = [0] * m + [_gmul(coef, c) for c in prev]
+            lam = [
+                (lam[i] if i < len(lam) else 0)
+                ^ (shifted[i] if i < len(shifted) else 0)
+                for i in range(max(len(lam), len(shifted)))
+            ]
+            L = n + 1 - L
+            prev = t_poly
+            b = d
+            m = 1
+        else:
+            coef = _gdiv(d, b)
+            shifted = [0] * m + [_gmul(coef, c) for c in prev]
+            lam = [
+                (lam[i] if i < len(lam) else 0)
+                ^ (shifted[i] if i < len(shifted) else 0)
+                for i in range(max(len(lam), len(shifted)))
+            ]
+            m += 1
+    if 2 * L + e_cnt > N_PARITY:
+        raise ValueError("error pattern exceeds 2t + e <= 60")
+
+    # Chien search: error positions are codeword indices whose locator
+    # X = alpha^(117 - pos) satisfies Lambda(X^-1) == 0
+    err_pos = []
+    for pos in range(N_CODE):
+        if pos in erased:
+            continue
+        xinv = int(_EXP[(255 - (N_CODE - 1 - pos)) % 255])
+        acc = 0
+        for c in reversed(lam):
+            acc = _gmul(acc, xinv) ^ c
+        if acc == 0:
+            err_pos.append(pos)
+    if len(err_pos) != L:
+        raise ValueError(
+            f"locator degree {L} but {len(err_pos)} roots — uncorrectable"
+        )
+
+    # combined locator Psi = Lambda * Gamma; Omega = S * Psi mod x^60
+    psi = [0] * (len(lam) + len(gam) - 1)
+    for i, a in enumerate(lam):
+        for j, c in enumerate(gam):
+            psi[i + j] ^= _gmul(a, c)
+    omega = [0] * N_PARITY
+    for i in range(N_PARITY):
+        acc = 0
+        for j in range(min(i + 1, len(psi))):
+            acc ^= _gmul(psi[j], int(syn[i - j]))
+        omega[i] = acc
+
+    for pos in erased + err_pos:
+        xk = int(_EXP[(N_CODE - 1 - pos) % 255])
+        xinv = _gdiv(1, xk)
+        om = 0
+        for i in reversed(range(N_PARITY)):
+            om = _gmul(om, xinv) ^ omega[i]
+        dpsi = 0
+        for i in range(1, len(psi), 2):
+            p = 1
+            for _ in range(i - 1):
+                p = _gmul(p, xinv)
+            dpsi ^= _gmul(psi[i], p)
+        if dpsi == 0:
+            raise ValueError("combined locator derivative vanished")
+        code[pos] ^= _gmul(xk, _gdiv(om, dpsi))
+
+    if _syndromes(code).any():
+        raise ValueError("residual syndromes after correction")
+    return code.astype(np.uint8)
+
+
 # field layout inside each CED word's content bits, AFTER the 8-bit
 # folded header+type field (matches inav.generate_page_pair exactly)
 _WORD_SPANS = {

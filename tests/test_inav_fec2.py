@@ -195,3 +195,40 @@ def test_codeword_from_words_matches_encoder(nav, g0):
     )
     # and the assembled codeword is a valid RS codeword
     rs_decode_erasures(code, [])
+
+
+def test_rs_errors_and_erasures_decoding():
+    """Full errors-AND-erasures decoding (Berlekamp-Massey + Chien +
+    Forney): any pattern with 2t + e <= 60 corrects exactly; beyond
+    capacity the decoder raises rather than miscorrecting."""
+    from galileo_sdr_sim_tpu.fec2 import rs_decode
+
+    rng = np.random.default_rng(3)
+    info = rng.integers(0, 256, K_INFO).astype(np.uint8)
+    cw = rs_encode(info)
+
+    def corrupt(x, pos, rng):
+        for p in pos:
+            v = x[p]
+            while x[p] == v:
+                x[p] = rng.integers(0, 256)
+
+    for t in (1, 5, 17, 30):  # unknown-position errors only
+        bad = cw.copy()
+        corrupt(bad, rng.choice(N_CODE, size=t, replace=False), rng)
+        assert np.array_equal(rs_decode(bad), cw), t
+
+    for e, t in ((10, 25), (40, 10), (58, 1), (20, 20)):  # mixed
+        bad = cw.copy()
+        pos = rng.choice(N_CODE, size=e + t, replace=False)
+        era, err = pos[:e], pos[e:]
+        bad[era] = rng.integers(0, 256, e)
+        corrupt(bad, err, rng)
+        assert np.array_equal(rs_decode(bad, list(era)), cw), (e, t)
+
+    for seed in range(3):  # t = 31: 2t > 60, must not silently pass
+        r2 = np.random.default_rng(100 + seed)
+        bad = cw.copy()
+        corrupt(bad, r2.choice(N_CODE, size=31, replace=False), r2)
+        with pytest.raises(ValueError):
+            rs_decode(bad)
