@@ -252,6 +252,11 @@ class StreamingSynthesizer:
                         engine="pallas" if self.synth_engine == "kp_pallas" else "xla",
                     )
                 elif fallback:
+                    # (In --bandlimit mode a fallback block bypasses the
+                    # polyphase filter and leaves the overlap state
+                    # untouched: a teleport-transition block is emitted
+                    # pointwise with a filter seam at its edges — the
+                    # receiver re-acquires through a teleport anyway.)
                     # An epoch's pseudorange-rate-derived code Doppler
                     # fell outside the factorized engines' envelope
                     # (ops/synth_kp.MU_MAX) — a live-position teleport,

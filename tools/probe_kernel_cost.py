@@ -1,6 +1,16 @@
 #!/usr/bin/env python3
-"""Attribute the fused kernel's per-call fixed cost (docs/channel_cost
-fit: 3.16 ms/call at B=64) to its phases, on hardware:
+"""Attribute the fused kernel's per-call cost to its phases, on
+hardware.
+
+HISTORICAL NOTE: this probe's original fixed-R timing carried the
+per-call relay round trip (~25 ms congested / R iterations) and its
+strided consumption re-read the whole output buffer — both identified
+and removed in the round-5 methodology revision (differential timing;
+docs/kernel_design.md).  The section probes remain useful for
+RELATIVE attribution within one session; absolute per-phase numbers
+from fixed-R runs are inflated by RTT/R.
+
+Phases:
 
 - full:       prologue + main loop (production kernel, emit=int16)
 - prologue:   per-(b, c) geometry/DMA/trig into scratch only
