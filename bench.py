@@ -60,9 +60,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REPS = 3
 ENVELOPE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_ENVELOPE.json")
-# a 64x64 matmul round trip is ~1-3 ms on a healthy relay; tens of ms
-# means the tunnel is congested and absolute numbers are unreliable
-RELAY_HEALTHY_MS = 25.0
+# this tunnel's STEADY-STATE 64x64 matmul round trip measures ~25-30 ms
+# (observed consistently across round 5); the threshold marks genuine
+# degradation episodes (multi-x RTT / wedges), during which absolute
+# rates are unreliable and envelope violations demote to warnings —
+# a threshold at the steady state would permanently mute the gates
+RELAY_HEALTHY_MS = 60.0
 
 
 def _stats(vals):
