@@ -303,3 +303,62 @@ def test_e2e_bandlimit_pvt(nav):
     )
     err = float(np.linalg.norm(sol.xyz - truth))
     assert err < 20.0, f"band-limited fix error {err:.2f} m ({sol.prns})"
+
+
+def test_bandlimit_checkpoint_resume_seam(nav, g0, tmp_path):
+    """Resume of a --bandlimit run restarts the filter overlap state at
+    zeros (docs/bandlimit.md known seam): the resumed stream must equal
+    the uninterrupted run everywhere EXCEPT a bounded transient in the
+    first filter-length of samples after the resume point."""
+    from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
+
+    class Collect:
+        def __init__(self, stop_after=None):
+            self.blocks = []
+            self.stop_after = stop_after
+            self.synth = None
+
+        def write(self, b):
+            self.blocks.append(np.asarray(b).copy())
+            if self.stop_after and len(self.blocks) >= self.stop_after:
+                self.synth.stop()
+
+        def close(self):
+            pass
+
+    def mk():
+        return ScenarioEngine(
+            nav, PositionProvider(llh_deg=STATIC), g0, duration_s=2.0,
+            model=E1_CBOC,
+        )
+
+    ref_sink = Collect()
+    StreamingSynthesizer(
+        mk(), ref_sink, synth_engine="kp", nsamples=NS, block_epochs=2,
+        bandlimit=True,
+    ).run()
+    ref = np.concatenate(ref_sink.blocks).reshape(-1)
+
+    ck = str(tmp_path / "bl_ckpt")
+    s1_sink = Collect(stop_after=3)
+    s1 = StreamingSynthesizer(
+        mk(), s1_sink, synth_engine="kp", nsamples=NS, block_epochs=2,
+        bandlimit=True, checkpoint_path=ck, checkpoint_every=2,
+    )
+    s1_sink.synth = s1
+    s1.run()
+    drained = sum(b.shape[0] for b in s1_sink.blocks)
+
+    s2_sink = Collect()
+    StreamingSynthesizer(
+        mk(), s2_sink, synth_engine="kp", nsamples=NS, block_epochs=2,
+        bandlimit=True, checkpoint_path=ck, checkpoint_every=10_000,
+    ).run()
+    combined = np.concatenate(s1_sink.blocks + s2_sink.blocks).reshape(-1)
+    assert combined.shape == ref.shape
+    # pre-resume: identical; post-resume: identical after the transient
+    pre = slice(0, drained * 2 * NS)
+    np.testing.assert_array_equal(combined[pre], ref[pre])
+    seam = 2 * 64  # 2*V0 low-rate samples x I/Q, with margin
+    post = slice(drained * 2 * NS + seam, None)
+    np.testing.assert_array_equal(combined[post], ref[post])

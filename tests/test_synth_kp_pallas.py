@@ -291,3 +291,28 @@ def test_vec_kt_variant_matches_default(batch_1s):
         )
     )
     np.testing.assert_array_equal(a5, a6)
+
+
+def test_pallas_cboc_plus_gain_matches_xla_interpret(nav, g0):
+    """The CBOC weight branch and the per-channel gain branch compose:
+    both engines agree with both enabled (interpreter tolerance
+    class)."""
+    from galileo_sdr_sim_tpu.models.cboc import E1_CBOC
+    from galileo_sdr_sim_tpu.scenario import PositionProvider, ScenarioEngine
+
+    eng = ScenarioEngine(
+        nav,
+        PositionProvider(llh_deg=np.array([42.3601, -71.0589, 100.0])),
+        g0, duration_s=1.0, model=E1_CBOC,
+    )
+    batch = next(eng.batches(8))
+    inputs = prepare_kp_inputs(
+        batch, ROWS * P_GRID, pack_g=True, apply_gain=True
+    )
+    assert "cboc_ab" in inputs and "chan_gain" in inputs
+    ref = np.asarray(jax.jit(lambda i: synth_accum_kp(i, n_k=ROWS))(inputs))
+    out = np.asarray(
+        synth_accum_kp_pallas(inputs, n_k=ROWS, interpret=True)
+    )
+    mismatch = np.abs(out - ref) > 1e-2
+    assert mismatch.mean() < 2e-3, mismatch.mean()
