@@ -189,15 +189,23 @@ def main() -> int:
         float(c1(inp))  # compile + warm
         float(c2(inp))
         vals = []
-        for _ in range(REPS):
+        for _ in range(REPS + 2):  # up to 2 retries for stalled pairs
             t0 = time.perf_counter()
             float(c1(inp))  # scalar readback forces completion
             t1 = time.perf_counter()
             float(c2(inp))
             t2 = time.perf_counter()
             tau = ((t2 - t1) - (t1 - t0)) / dr
-            vals.append(nsamp / max(tau, 1e-9))
-        return vals
+            # a tunnel stall inside the FIRST rep of a pair makes tau
+            # negative; such a pair measures weather, not the kernel —
+            # discard it rather than dividing by a clamp and minting an
+            # absurd rate that would pass every floor
+            if tau > 0:
+                vals.append(nsamp / tau)
+            if len(vals) == REPS:
+                break
+        # no valid pair at all: return 0 so every floor FAILS loudly
+        return vals or [0.0]
 
     stats = {}
 

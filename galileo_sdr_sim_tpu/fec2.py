@@ -208,7 +208,7 @@ CED_FIELDS = (
     ("cic", 16), ("cis", 16), ("toc", 14),                      # word 4
     ("af0", 31), ("af1", 21), ("af2", 6),
 )
-_CED_BITS = sum(b for _, b in CED_FIELDS)  # 452
+_CED_BITS = sum(b for _, b in CED_FIELDS)  # 436 field bits (+16 header = 452)
 assert _CED_BITS + 12 == (K_INFO - 2) * 8  # 448 payload bits + 2 header octets
 
 

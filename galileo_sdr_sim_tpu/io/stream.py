@@ -231,6 +231,7 @@ class StreamingSynthesizer:
                         else "xla",
                         code_cache=self._code_cache,
                         state=self._bl_state,
+                        apply_gain=self.apply_gain,
                     )
                 elif use_kp and not fallback:
                     inputs = prepare_kp_inputs(

@@ -137,6 +137,7 @@ def synth_block_cboc_bandlimited(
     engine: str = "xla",
     code_cache: dict | None = None,
     state: jax.Array | None = None,
+    apply_gain: bool = False,
 ):
     """One epoch block of the band-limited CBOC stream.
 
@@ -156,6 +157,7 @@ def synth_block_cboc_bandlimited(
             nsamples,
             pad_epochs=pad_epochs,
             code_cache=code_cache,
+            apply_gain=apply_gain,
             pack_g=engine == "pallas",
         )
         phases.append(

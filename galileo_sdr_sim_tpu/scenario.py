@@ -194,6 +194,19 @@ class ScenarioEngine:
         vectorized chunk path (one observables call per CHUNK epochs);
         live UDP positions arrive per epoch and use the stepwise path."""
         if self.position._live is not None:
+            # a rewound checkpoint (save_state drained_iumd) re-buffers
+            # in-flight tabs as pending; the live path must REPLAY them
+            # first — grx/channel state is committed past them, so
+            # re-stepping those epochs would emit wrong-time signal and
+            # skip the in-flight samples the rewind exists to preserve
+            if self._pending and self._pending_base == start:
+                while self._pending:
+                    tab = self._pending.pop(0)
+                    self._pending_base += 1
+                    self._next_iumd = self._pending_base
+                    self._record_replay(self._next_iumd - 1, tab)
+                    yield tab
+                start = self._next_iumd
             for iumd in range(start, self.numd):
                 tab = self._step(iumd)
                 self._next_iumd = iumd + 1

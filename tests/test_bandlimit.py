@@ -362,3 +362,54 @@ def test_bandlimit_checkpoint_resume_seam(nav, g0, tmp_path):
     seam = 2 * 64  # 2*V0 low-rate samples x I/Q, with margin
     post = slice(drained * 2 * NS + seam, None)
     np.testing.assert_array_equal(combined[post], ref[post])
+
+
+def test_bandlimit_applies_gain(blocks):
+    """--bandlimit must honor --apply-gain (advisor r5 review finding:
+    the gain was silently dropped in this mode): with per-channel
+    path-loss gain (normalized <= 1) the filtered stream's mean
+    amplitude drops relative to the ungained stream."""
+    batch = blocks[0]
+    out_ng, _ = synth_block_cboc_bandlimited(
+        batch, NS, pad_epochs=4, engine="xla", state=initial_state()
+    )
+    out_g, _ = synth_block_cboc_bandlimited(
+        batch, NS, pad_epochs=4, engine="xla", state=initial_state(),
+        apply_gain=True,
+    )
+    a = np.abs(np.asarray(out_ng)[0].astype(np.int32)).mean()
+    b = np.abs(np.asarray(out_g)[0].astype(np.int32)).mean()
+    assert b < 0.98 * a, (a, b)
+
+
+
+def test_streaming_bandlimit_forwards_apply_gain(nav, g0):
+    """The executor's bandlimit branch forwards apply_gain (it was
+    silently dropped before the r5 review fix)."""
+    from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
+
+    class Collect:
+        def __init__(self):
+            self.blocks = []
+
+        def write(self, x):
+            self.blocks.append(np.asarray(x).copy())
+
+        def close(self):
+            pass
+
+    def run(apply_gain):
+        eng = ScenarioEngine(
+            nav, PositionProvider(llh_deg=STATIC), g0,
+            duration_s=0.5, model=E1_CBOC,
+        )
+        sink = Collect()
+        StreamingSynthesizer(
+            eng, sink, synth_engine="kp", nsamples=NS, block_epochs=4,
+            bandlimit=True, apply_gain=apply_gain,
+        ).run()
+        return np.concatenate(sink.blocks)
+
+    a = np.abs(run(False).astype(np.int32)).mean()
+    b = np.abs(run(True).astype(np.int32)).mean()
+    assert b < 0.98 * a, (a, b)

@@ -121,3 +121,41 @@ def test_pipelined_resume_does_not_skip_inflight_blocks(nav, g0, tmp_path):
     combined = np.concatenate(s1_sink.blocks + s2_sink.blocks)
     assert combined.shape == ref.shape
     np.testing.assert_array_equal(combined, ref)
+
+
+def test_live_position_resume_replays_inflight_epochs(nav, g0):
+    """The live-position epochs() path must REPLAY pending tabs from a
+    rewound snapshot instead of re-stepping those epochs — grx is
+    committed past them, so re-stepping would emit wrong-time signal
+    and skip the in-flight samples (advisor r5 review finding)."""
+    from galileo_sdr_sim_tpu.checkpoint import load_state, save_state
+    from galileo_sdr_sim_tpu.scenario import PositionProvider, ScenarioEngine
+    import tempfile
+
+    def mk():
+        return ScenarioEngine(
+            nav,
+            PositionProvider(live=lambda: STATIC),  # live source, fixed pos
+            g0, duration_s=1.5,
+        )
+
+    eng = mk()
+    eng._replay_keep = 16
+    gen = eng.epochs()
+    tabs = [next(gen) for _ in range(8)]  # producer 8 epochs ahead
+    ck = tempfile.mktemp()
+    save_state(eng, ck, drained_iumd=4)  # sink only received 4
+
+    eng2 = mk()
+    done = load_state(eng2, ck)
+    assert done == 4
+    resumed = list(eng2.epochs(start=done + 1))
+    # epochs 5..8 are replayed in-flight tabs: identical to the first
+    # run's; epochs 9+ continue live stepping
+    assert len(resumed) == len(tabs) - 4 + (len(list(mk().epochs())) - 8)
+    for ta, tb in zip(tabs[4:8], resumed[:4]):
+        assert np.array_equal(ta.f_carr, tb.f_carr)
+        assert np.array_equal(ta.code_phase0, tb.code_phase0)
+        assert np.array_equal(ta.carr_phase0, tb.carr_phase0)
+        assert np.array_equal(ta.sym_win, tb.sym_win)
+        assert ta.grx_sec == tb.grx_sec
