@@ -507,13 +507,14 @@ def main() -> int:
             env = json.load(f)
     except FileNotFoundError:
         env = {"floors": {}, "relations": {}}
+    # tunnel-bound metrics (full D2H drain) compare their BEST rep:
+    # one multi-second tunnel stall poisons a median of 3, while a
+    # single clean rep proves the architecture (same rationale as the
+    # executor best-pair gate)
+    TUNNEL_BOUND = {"e2e_samples_per_sec"}
     for name, floor in env.get("floors", {}).items():
         st_n = stats.get(name, {})
-        # tunnel-bound metrics (full D2H drain) compare their BEST rep:
-        # one multi-second tunnel stall poisons a median of 3, while a
-        # single clean rep proves the architecture (same rationale as
-        # the executor best-pair gate)
-        val = st_n.get("max" if name == "e2e_samples_per_sec" else "median")
+        val = st_n.get("max" if name in TUNNEL_BOUND else "median")
         if val is not None and val < floor:
             regressions.append(
                 {"metric": name, "value": val, "floor": floor,

@@ -128,6 +128,56 @@ def _syndromes(code: np.ndarray) -> np.ndarray:
     return s
 
 
+
+def _locator_poly(xs: list[int]) -> list[int]:
+    """prod_k (1 + X_k x); returned low-to-high (out[i] = coeff of x^i)."""
+    lam = [1]
+    for xk in xs:
+        new = lam + [0]
+        for i in range(len(lam), 0, -1):
+            new[i] ^= _gmul(lam[i - 1], xk)
+        lam = new
+    return lam
+
+
+def _mod_syndromes(poly: list[int], syn: np.ndarray) -> list[int]:
+    """poly(x) * S(x) mod x^60, with S(x) = sum S_i x^i."""
+    out = [0] * N_PARITY
+    for i in range(N_PARITY):
+        acc = 0
+        for j in range(min(i + 1, len(poly))):
+            acc ^= _gmul(poly[j], int(syn[i - j]))
+        out[i] = acc
+    return out
+
+
+def _poly_eval(poly: list[int], x: int) -> int:
+    acc = 0
+    for c in reversed(poly):
+        acc = _gmul(acc, x) ^ c
+    return acc
+
+
+def _forney_correct(code: np.ndarray, positions: list[int],
+                    locator: list[int], omega: list[int]) -> None:
+    """In-place Forney correction at the given codeword positions
+    (first consecutive root alpha^0 -> e_k = X_k * Omega/Locator')."""
+    for pos in positions:
+        xk = int(_EXP[(N_CODE - 1 - pos) % 255])
+        xinv = _gdiv(1, xk)
+        om = _poly_eval(omega, xinv)
+        # derivative of the locator: odd-degree terms survive in GF(2)
+        dloc = 0
+        for i in range(1, len(locator), 2):
+            pw = 1
+            for _ in range(i - 1):
+                pw = _gmul(pw, xinv)
+            dloc ^= _gmul(locator[i], pw)
+        if dloc == 0:
+            raise ValueError("locator derivative vanished")
+        code[pos] ^= _gmul(xk, _gdiv(om, dloc))
+
+
 def rs_decode_erasures(code: np.ndarray, erased: list[int]) -> np.ndarray:
     """Erasures-only decoding: reconstruct the codeword given <= 60
     erased positions (indices into the 118-octet codeword; their current
@@ -147,49 +197,13 @@ def rs_decode_erasures(code: np.ndarray, erased: list[int]) -> np.ndarray:
             raise ValueError("syndromes nonzero with no erasures")
         return code.astype(np.uint8)
 
-    # erasure locators: X_k = alpha^(117 - pos) (the power of the
-    # position's coefficient degree)
+    # erasure locator from X_k = alpha^(117 - pos), Omega = S*Lambda
+    # mod x^60, then Forney at the erased positions (helpers shared
+    # with the errors-and-erasures decoder)
     xs = [int(_EXP[(N_CODE - 1 - e) % 255]) for e in erased]
-    # erasure locator polynomial Lambda(x) = prod (1 + X_k x),
-    # lam[i] = coefficient of x^i
-    lam = [1]
-    for xk in xs:
-        # multiply by (1 + X_k x): new[i] = old[i] + X_k * old[i-1]
-        new = lam + [0]
-        for i in range(len(lam), 0, -1):
-            new[i] ^= _gmul(lam[i - 1], xk)
-        lam = new  # lam[i] = coefficient of x^i
-
-    # modified syndrome polynomial Omega(x) = S(x) * Lambda(x) mod x^60,
-    # with S(x) = sum S_i x^i
-    omega = [0] * N_PARITY
-    for i in range(N_PARITY):
-        acc = 0
-        for j in range(min(i + 1, len(lam))):
-            acc ^= _gmul(lam[j], int(syn[i - j]))
-        omega[i] = acc
-
-    # Forney: e_k = X_k^(1-b) * Omega(X_k^-1) / Lambda'(X_k^-1), b = 0
-    # (first consecutive root alpha^0) -> e_k = X_k * Omega(Xk^-1)/Lam'(Xk^-1)
-    for e, xk in zip(erased, xs):
-        xinv = _gdiv(1, xk)
-        # Omega(xinv)
-        om = 0
-        for i in reversed(range(N_PARITY)):
-            om = _gmul(om, xinv) ^ omega[i]
-        # Lambda'(x): derivative keeps odd-degree terms
-        dlam = 0
-        for i in range(1, len(lam), 2):
-            # d/dx x^i = i*x^(i-1); in GF(2) only odd i survive with
-            # coefficient lam[i]
-            p = 1
-            for _ in range(i - 1):
-                p = _gmul(p, xinv)
-            dlam ^= _gmul(lam[i], p)
-        if dlam == 0:
-            raise ValueError("erasure locator derivative vanished")
-        mag = _gmul(xk, _gdiv(om, dlam))
-        code[e] ^= mag
+    lam = _locator_poly(xs)
+    omega = _mod_syndromes(lam, syn)
+    _forney_correct(code, erased, lam, omega)
 
     if _syndromes(code).any():
         raise ValueError("residual syndromes after erasure correction")
@@ -247,21 +261,8 @@ def rs_decode(code: np.ndarray, erased: list[int] | None = None) -> np.ndarray:
         return code.astype(np.uint8)
 
     xs = [int(_EXP[(N_CODE - 1 - e) % 255]) for e in erased]
-    # erasure locator Gamma(x), gam[i] = coeff of x^i
-    gam = [1]
-    for xk in xs:
-        new = gam + [0]
-        for i in range(len(gam), 0, -1):
-            new[i] ^= _gmul(gam[i - 1], xk)
-        gam = new
-
-    # modified syndromes Xi = S(x) * Gamma(x) mod x^60
-    xi = [0] * N_PARITY
-    for i in range(N_PARITY):
-        acc = 0
-        for j in range(min(i + 1, len(gam))):
-            acc ^= _gmul(gam[j], int(syn[i - j]))
-        xi[i] = acc
+    gam = _locator_poly(xs)  # erasure locator Gamma(x)
+    xi = _mod_syndromes(gam, syn)  # modified syndromes Xi = S*Gamma
 
     # Berlekamp-Massey over xi[e:] for the error locator Lambda(x)
     e_cnt = len(erased)
@@ -309,10 +310,7 @@ def rs_decode(code: np.ndarray, erased: list[int] | None = None) -> np.ndarray:
         if pos in erased:
             continue
         xinv = int(_EXP[(255 - (N_CODE - 1 - pos)) % 255])
-        acc = 0
-        for c in reversed(lam):
-            acc = _gmul(acc, xinv) ^ c
-        if acc == 0:
+        if _poly_eval(lam, xinv) == 0:
             err_pos.append(pos)
     if len(err_pos) != L:
         raise ValueError(
@@ -320,32 +318,9 @@ def rs_decode(code: np.ndarray, erased: list[int] | None = None) -> np.ndarray:
         )
 
     # combined locator Psi = Lambda * Gamma; Omega = S * Psi mod x^60
-    psi = [0] * (len(lam) + len(gam) - 1)
-    for i, a in enumerate(lam):
-        for j, c in enumerate(gam):
-            psi[i + j] ^= _gmul(a, c)
-    omega = [0] * N_PARITY
-    for i in range(N_PARITY):
-        acc = 0
-        for j in range(min(i + 1, len(psi))):
-            acc ^= _gmul(psi[j], int(syn[i - j]))
-        omega[i] = acc
-
-    for pos in erased + err_pos:
-        xk = int(_EXP[(N_CODE - 1 - pos) % 255])
-        xinv = _gdiv(1, xk)
-        om = 0
-        for i in reversed(range(N_PARITY)):
-            om = _gmul(om, xinv) ^ omega[i]
-        dpsi = 0
-        for i in range(1, len(psi), 2):
-            p = 1
-            for _ in range(i - 1):
-                p = _gmul(p, xinv)
-            dpsi ^= _gmul(psi[i], p)
-        if dpsi == 0:
-            raise ValueError("combined locator derivative vanished")
-        code[pos] ^= _gmul(xk, _gdiv(om, dpsi))
+    psi = _poly_mul(lam, gam)
+    omega = _mod_syndromes(psi, syn)
+    _forney_correct(code, erased + err_pos, psi, omega)
 
     if _syndromes(code).any():
         raise ValueError("residual syndromes after correction")

@@ -457,8 +457,10 @@ def synth_accum_kp_pallas(
     assert n_kap % kap_tile == 0, (n_kap, kap_tile)
 
     if vec_kt is None:
-        vec_kt = False  # v5 per-kt loop remains the default pending the
-        # v6 hardware verdict (tools/probe_vec_kt.py)
+        # v5 per-kt loop is the default: the vectorized-kt v6 variant
+        # measured 1.4-2.3x slower on hardware (docs/kernel_design.md
+        # "Negative result"; tools/probe_vec_kt.py)
+        vec_kt = False
     g0, o, r = _window_anchors(inputs)
     o128 = (o // 128) * 128
     phase = o - o128

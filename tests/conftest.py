@@ -105,3 +105,21 @@ def pvt_scene(nav):
     )
     x16 = np.concatenate(iq).reshape(-1).astype(np.int16)
     return g0, x16
+
+
+class CollectSink:
+    """Test sink that stores written blocks (host copies); optionally
+    stops its synthesizer after N writes to simulate a crash."""
+
+    def __init__(self, stop_after=None):
+        self.blocks = []
+        self.stop_after = stop_after
+        self.synth = None
+
+    def write(self, b):
+        self.blocks.append(np.asarray(b).copy())
+        if self.stop_after and len(self.blocks) >= self.stop_after:
+            self.synth.stop()
+
+    def close(self):
+        pass

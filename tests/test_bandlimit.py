@@ -166,15 +166,7 @@ def test_streaming_synthesizer_bandlimit_path(nav, g0):
     function directly, and the model/engine guards fire."""
     from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
 
-    class Collect:
-        def __init__(self):
-            self.blocks = []
-
-        def write(self, b):
-            self.blocks.append(np.asarray(b).copy())
-
-        def close(self):
-            pass
+    from conftest import CollectSink as Collect
 
     eng = ScenarioEngine(
         nav, PositionProvider(llh_deg=STATIC), g0, duration_s=1.0,
@@ -274,15 +266,7 @@ def test_e2e_bandlimit_pvt(nav):
         model=E1_CBOC,
     )
 
-    class Collect:
-        def __init__(self):
-            self.blocks = []
-
-        def write(self, b):
-            self.blocks.append(np.asarray(b).copy())
-
-        def close(self):
-            pass
+    from conftest import CollectSink as Collect
 
     sink = Collect()
     StreamingSynthesizer(
@@ -312,19 +296,7 @@ def test_bandlimit_checkpoint_resume_seam(nav, g0, tmp_path):
     first filter-length of samples after the resume point."""
     from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
 
-    class Collect:
-        def __init__(self, stop_after=None):
-            self.blocks = []
-            self.stop_after = stop_after
-            self.synth = None
-
-        def write(self, b):
-            self.blocks.append(np.asarray(b).copy())
-            if self.stop_after and len(self.blocks) >= self.stop_after:
-                self.synth.stop()
-
-        def close(self):
-            pass
+    from conftest import CollectSink as Collect
 
     def mk():
         return ScenarioEngine(
@@ -388,15 +360,7 @@ def test_streaming_bandlimit_forwards_apply_gain(nav, g0):
     silently dropped before the r5 review fix)."""
     from galileo_sdr_sim_tpu.io.stream import StreamingSynthesizer
 
-    class Collect:
-        def __init__(self):
-            self.blocks = []
-
-        def write(self, x):
-            self.blocks.append(np.asarray(x).copy())
-
-        def close(self):
-            pass
+    from conftest import CollectSink as Collect
 
     def run(apply_gain):
         eng = ScenarioEngine(

@@ -73,19 +73,7 @@ def test_pipelined_resume_does_not_skip_inflight_blocks(nav, g0, tmp_path):
 
     NS = 10400
 
-    class Collect:
-        def __init__(self, stop_after=None):
-            self.blocks = []
-            self.stop_after = stop_after
-            self.synth = None
-
-        def write(self, b):
-            self.blocks.append(np.asarray(b).copy())
-            if self.stop_after and len(self.blocks) >= self.stop_after:
-                self.synth.stop()
-
-        def close(self):
-            pass
+    from conftest import CollectSink as Collect
 
     ref_sink = Collect()
     StreamingSynthesizer(
