@@ -62,12 +62,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REPS = 3
 ENVELOPE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_ENVELOPE.json")
-# this tunnel's STEADY-STATE 64x64 matmul round trip measures ~25-30 ms
-# (observed consistently across round 5); the threshold marks genuine
-# degradation episodes (multi-x RTT / wedges), during which absolute
-# rates are unreliable and envelope violations demote to warnings —
-# a threshold at the steady state would permanently mute the gates
-RELAY_HEALTHY_MS = 60.0
+# this tunnel's STEADY-STATE 64x64 matmul round trip measures 25-30 ms
+# (observed consistently across round 5; five bench runs).  Dispatch-
+# bound metrics (devsink, e2e) track relay phases 2-4x while the
+# differential kernel metrics stay within 3%, so the threshold sits
+# just above the observed steady band: >35 ms = a degraded phase,
+# envelope violations demote to warnings.  A threshold at the steady
+# state would permanently mute the gates; one far above it (60 ms was
+# tried) lets degraded-phase weather masquerade as regressions.
+RELAY_HEALTHY_MS = 35.0
 
 
 def _stats(vals):
